@@ -1,0 +1,11 @@
+"""beta_recsys_tpu — a TPU-native recommender-systems framework.
+
+Built from scratch on JAX/XLA (jit, pjit/shard_map, Pallas) with the full
+capability surface of Beta-RecSys (reference study in SURVEY.md): unified
+dataset download→filter→split→negative-sampling pipeline, config-driven
+train/eval engines with early stopping and checkpointing, a model zoo spanning
+factorization, graph, sequential, basket and VAE recommenders, hyperparameter
+sweeps, and data-parallel + row-sharded-embedding scaling across device meshes.
+"""
+
+__version__ = "0.1.0"

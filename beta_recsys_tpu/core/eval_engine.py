@@ -1,0 +1,146 @@
+"""On-device evaluation engine: jitted candidate scoring + metric reductions.
+
+TPU-first replacement for the reference EvalEngine
+(beta_rec/core/eval_engine.py:186-622): where the reference copies predictions
+to host and runs pandas metrics in worker threads with lock-guarded shared
+state, here one jitted function scores all candidate sets and reduces every
+metric@k on device. Evaluation is synchronous but typically runs in
+milliseconds, so the reference's 'don't block training' thread machinery is
+unnecessary — the benign data race noted in SURVEY §5 is eliminated by design.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..ops import metrics as device_metrics
+from ..utils.common import save_to_csv
+from ..utils.constants import MAX_N_UPDATE
+
+
+class RankingEvaluator:
+    """Jitted ranked evaluation over fixed candidate sets (1 pos + n negatives)."""
+
+    def __init__(self, model, candidates, metrics=("ndcg", "precision", "recall", "map"), ks=(5, 10, 20)):
+        self.model = model
+        self.metrics = tuple(metrics)
+        self.ks = tuple(int(k) for k in ks)
+        self.users = jnp.asarray(candidates.users)
+        self.items = jnp.asarray(candidates.items)
+        self.relevance = jnp.asarray(candidates.relevance)
+        self.mask = jnp.asarray(candidates.mask)
+
+        def _eval(params):
+            scores = model.score_candidates(params, self.users, self.items)
+            return device_metrics.ranking_metrics(
+                scores, self.relevance, self.mask, self.metrics, self.ks
+            )
+
+        self._eval = jax.jit(_eval)
+
+    def evaluate(self, params):
+        """Return {metric@k: float} for the model parameters."""
+        out = self._eval(params)
+        return {k: float(v) for k, v in out.items()}
+
+
+class FullCatalogEvaluator:
+    """Jitted full-catalog top-k evaluation (train positives masked out).
+
+    The reference's pandas groupby-nlargest path (utils/evaluation.py:755-785)
+    becomes a blocked, on-device ``lax.top_k`` over (batch_users, n_items)
+    score matrices — the mode to use when candidates are 'all items'.
+    """
+
+    def __init__(self, model, users, relevance_csr, train_csr, metrics=("ndcg", "precision", "recall", "map"), ks=(5, 10, 20), user_block=1024):
+        self.model = model
+        self.metrics = tuple(metrics)
+        self.ks = tuple(int(k) for k in ks)
+        self.user_block = user_block
+        self.users = np.asarray(users, dtype=np.int32)
+        self.relevance_csr = relevance_csr
+        self.train_csr = train_csr
+        max_k = max(self.ks)
+
+        def _score_block(params, users_blk, rel_blk, train_blk):
+            scores = model.score_all(params, users_blk)
+            scores = jnp.where(train_blk > 0, device_metrics.NEG_INF, scores)
+            mask = jnp.ones_like(scores, dtype=bool)
+            return device_metrics.ranking_metrics(scores, rel_blk, mask, self.metrics, self.ks)
+
+        self._score_block = jax.jit(_score_block)
+        del max_k
+
+    def evaluate(self, params):
+        """Average metric@k over user blocks (weighted by block size)."""
+        totals, total_users = {}, 0
+        B = self.user_block
+        for start in range(0, len(self.users), B):
+            blk = self.users[start : start + B]
+            pad = B - len(blk)
+            blk_padded = np.pad(blk, (0, pad), mode="edge") if pad else blk
+            rel = np.asarray(self.relevance_csr[blk_padded].todense(), dtype=np.float32)
+            trn = np.asarray(self.train_csr[blk_padded].todense(), dtype=np.float32)
+            if pad:
+                rel[len(blk):] = 0.0  # padded users have no relevance → contribute 0
+            out = self._score_block(params, jnp.asarray(blk_padded), jnp.asarray(rel), jnp.asarray(trn))
+            w = len(blk)
+            for k, v in out.items():
+                # metric means are over B users incl. padded zeros; rescale to real users
+                totals[k] = totals.get(k, 0.0) + float(v) * B
+            total_users += w
+        # padded users contributed 0 to sums; divide by the true user count
+        return {k: v / max(len(self.users), 1) for k, v in totals.items()}
+
+
+class EvalBookkeeper:
+    """Early-stop / best-metric tracking (synchronous, no threads or locks)."""
+
+    def __init__(self, valid_metric="ndcg", valid_k=10, max_n_update=MAX_N_UPDATE):
+        self.key = f"{valid_metric}@{valid_k}"
+        self.max_n_update = max_n_update
+        self.best_valid_performance = 0.0
+        self.best_epoch = -1
+        self.n_no_update = 0
+        self.history = []
+
+    def update(self, epoch, valid_result, test_result=None):
+        """Record an epoch's results; returns True if the valid metric improved."""
+        score = valid_result[self.key]
+        self.history.append(
+            {"epoch": epoch, "valid": dict(valid_result), "test": dict(test_result or {})}
+        )
+        if score > self.best_valid_performance:
+            self.best_valid_performance = score
+            self.best_epoch = epoch
+            self.n_no_update = 0
+            return True
+        self.n_no_update += 1
+        return False
+
+    @property
+    def should_stop(self):
+        return self.n_no_update >= self.max_n_update
+
+
+def test_eval(evaluators, params, result_file=None, result_para=None, run_time=None):
+    """Final test evaluation over n_test candidate copies -> averaged metrics.
+
+    Mirrors reference EvalEngine.test_eval (core/eval_engine.py:585-604): each
+    copy is evaluated, the mean row (+ config columns + run_time) is appended to
+    the results CSV.
+    """
+    rows = [ev.evaluate(params) for ev in evaluators]
+    mean_row = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]} if rows else {}
+    if result_file:
+        record = dict(mean_row)
+        if run_time is not None:
+            record["run_time"] = run_time
+        record["time"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        for k, v in (result_para or {}).items():
+            record[k] = str(v)
+        save_to_csv(pd.DataFrame([record]), result_file)
+    return mean_row, rows

@@ -1,0 +1,313 @@
+"""Training engine: run lifecycle + whole-epoch jitted training loops.
+
+TPU-first redesign of the reference TrainEngine (beta_rec/core/train_engine.py:23-349):
+- The per-batch Python loop (models/torch_engine.py:47-68) becomes ONE jitted
+  ``lax.scan`` over all batches of an epoch — data arrays live on device, the
+  epoch permutation, negative sampling, gradient and optimizer update all run
+  inside a single compiled program. On a small model like MF this turns the
+  reference's ~13 s epochs into milliseconds.
+- Negative sampling (host multiprocess / pandas in the reference) is an
+  on-device kernel (beta_recsys_tpu.ops.sampling) keyed by the train step RNG.
+- Early stop + checkpoint-on-improvement semantics match the reference
+  (core/train_engine.py:200-240) but run synchronously (no eval threads).
+"""
+
+import os
+import random as _py_random
+import string
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..ops.sampling import (
+    make_membership_test,
+    sample_negatives_rejection,
+    sample_negatives_rejection_bitmask,
+    uniform_negatives,
+)
+from ..utils.common import ensure_dir, set_seed
+from ..utils.constants import MAX_N_UPDATE
+from .checkpoint import load_checkpoint, save_checkpoint, save_metadata
+from .eval_engine import EvalBookkeeper, RankingEvaluator, test_eval
+
+# Dense positive bitmasks are used for rejection sampling up to this many cells.
+_BITMASK_CELL_LIMIT = 64 * 1024 * 1024
+
+
+def make_optimizer(model_cfg):
+    """Optimizer factory: sgd / adam / rmsprop (reference torch_engine.py:23-39)."""
+    name = model_cfg.get("optimizer", "adam")
+    lr = float(model_cfg.get("lr", 1e-3))
+    if name == "sgd":
+        return optax.sgd(lr)
+    if name == "adam":
+        return optax.adam(lr)
+    if name == "rmsprop":
+        return optax.rmsprop(lr)
+    raise ValueError(f"Unknown optimizer {name}")
+
+
+def make_negative_sampler(data, mode="auto"):
+    """Return fn(rng, users, shape) -> negative item ids, jit-compatible.
+
+    mode: 'uniform' (no rejection), 'bitmask', 'csr', or 'auto' (bitmask for
+    small catalogs, csr binary-search otherwise).
+    """
+    n_items = data.n_items
+    if mode == "uniform":
+        return lambda rng, users, shape: uniform_negatives(rng, shape, n_items)
+    if mode == "auto":
+        mode = "bitmask" if data.n_users * data.n_items <= _BITMASK_CELL_LIMIT else "csr"
+    if mode == "bitmask":
+        pos_mask = jnp.asarray(data.pos_bitmask())
+        return lambda rng, users, shape: sample_negatives_rejection_bitmask(
+            rng, users, shape, n_items, pos_mask
+        )
+    if mode == "csr":
+        indptr, items_sorted = data.pos_csr()
+        is_positive = make_membership_test(indptr, items_sorted)
+        return lambda rng, users, shape: sample_negatives_rejection(
+            rng, users, shape, n_items, is_positive
+        )
+    raise ValueError(f"Unknown negative sampler mode {mode}")
+
+
+def _padded_order(perm, padded_size):
+    """Extend a permutation to ``padded_size`` by wrapping (static shapes)."""
+    n = perm.shape[0]
+    if padded_size == n:
+        return perm
+    reps = -(-padded_size // n)  # ceil
+    return jnp.concatenate([perm] * reps)[:padded_size]
+
+
+def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, num_neg=1, donate=True):
+    """Build a jitted whole-epoch trainer: (params, opt_state, rng) -> updated + mean loss.
+
+    The scan body assembles the batch the model's ``batch_kind`` expects:
+    pairwise (BPR triplets with on-device negatives), pointwise (positives +
+    ``num_neg`` sampled negatives with 0 labels, reference
+    data/base_data.py:182-216), or a custom batch builder the caller wires in.
+    """
+    users = jnp.asarray(train_arrays.users)
+    items = jnp.asarray(train_arrays.items)
+    ratings = jnp.asarray(train_arrays.ratings)
+    n = users.shape[0]
+    batch_size = min(batch_size, n)
+    num_batches = -(-n // batch_size)
+    padded_size = num_batches * batch_size
+    kind = model.batch_kind
+
+    def epoch_fn(params, opt_state, rng):
+        rng, perm_key = jax.random.split(rng)
+        order = _padded_order(jax.random.permutation(perm_key, n), padded_size)
+        order = order.reshape(num_batches, batch_size)
+
+        def step(carry, batch_order):
+            params, opt_state, rng = carry
+            rng, k_neg, k_loss = jax.random.split(rng, 3)
+            u = users[batch_order]
+            it = items[batch_order]
+            r = ratings[batch_order]
+            if kind == "pairwise":
+                neg = neg_sampler(k_neg, u, (batch_size,))
+                batch = {"users": u, "pos_items": it, "neg_items": neg}
+            elif kind == "pointwise":
+                u_rep = jnp.repeat(u, num_neg)
+                neg = neg_sampler(k_neg, u_rep, (batch_size * num_neg,))
+                batch = {
+                    "users": jnp.concatenate([u, u_rep]),
+                    "items": jnp.concatenate([it, neg]),
+                    "labels": jnp.concatenate([r, jnp.zeros_like(neg, dtype=r.dtype)]),
+                }
+            else:
+                raise ValueError(
+                    f"make_epoch_fn handles pairwise/pointwise; got {kind} — "
+                    "use the model family's dedicated epoch builder"
+                )
+            loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), loss
+
+        (params, opt_state, rng), losses = jax.lax.scan(
+            step, (params, opt_state, rng), order
+        )
+        return params, opt_state, rng, jnp.mean(losses)
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
+
+
+class TrainEngine:
+    """Owns one training run: env prep, epoch loop, early stop, checkpointing."""
+
+    def __init__(self, config):
+        if not isinstance(config, Config):
+            config = Config(config)
+        self.config = config
+        self.prepare_env()
+
+    # -- environment --------------------------------------------------------------
+
+    def prepare_env(self):
+        """Run id, directories, seeding (reference train_engine.py:80-192)."""
+        sys_cfg = self.config.system
+        model_cfg = self.config.model
+        timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        rand_tag = "".join(_py_random.choices(string.ascii_lowercase, k=6))
+        self.model_run_id = (
+            f"{model_cfg.get('model', 'model')}_{model_cfg.get('config_id', 'default')}"
+            f"_{timestamp}_{rand_tag}"
+        )
+        root = sys_cfg.get("root_dir", ".")
+        self.dirs = {}
+        for key in ("log_dir", "result_dir", "process_dir", "checkpoint_dir", "run_dir", "tune_dir"):
+            path = os.path.join(root, sys_cfg.get(key, key.replace("_dir", "s/")))
+            ensure_dir(path)
+            self.dirs[key] = path
+        self.checkpoint_dir = os.path.join(self.dirs["checkpoint_dir"], self.model_run_id)
+        self.result_file = os.path.join(
+            self.dirs["result_dir"], sys_cfg.get("result_file", "result.csv")
+        )
+        seed = int(sys_cfg.get("seed", 2020))
+        set_seed(seed)
+        self.rng = jax.random.key(seed)
+
+    # -- build --------------------------------------------------------------------
+
+    def build(self, model, data, valid_candidates=None, test_candidates=None):
+        """Wire the model + data into jitted train/eval functions."""
+        self.model = model
+        self.data = data
+        model_cfg = self.config.model
+        sys_cfg = self.config.system
+        self.optimizer = make_optimizer(model_cfg)
+        self.rng, init_key = jax.random.split(self.rng)
+        self.params = model.init_params(init_key)
+        self.opt_state = self.optimizer.init(self.params)
+        neg_sampler = make_negative_sampler(data, model_cfg.get("neg_sampler", "auto"))
+        self.epoch_fn = make_epoch_fn(
+            model,
+            self.optimizer,
+            data.train_arrays(),
+            int(model_cfg.get("batch_size", 256)),
+            neg_sampler=neg_sampler,
+            num_neg=int(model_cfg.get("num_negative", 4)),
+        )
+        metrics = tuple(sys_cfg.get("metrics", ["ndcg", "precision", "recall", "map"]))
+        ks = tuple(sys_cfg.get("k", [5, 10, 20]))
+        self.valid_evaluator = (
+            RankingEvaluator(model, valid_candidates, metrics, ks)
+            if valid_candidates is not None
+            else None
+        )
+        self.test_evaluator = (
+            RankingEvaluator(model, test_candidates, metrics, ks)
+            if test_candidates is not None
+            else None
+        )
+        self.bookkeeper = EvalBookkeeper(
+            valid_metric=sys_cfg.get("valid_metric", "ndcg"),
+            valid_k=sys_cfg.get("valid_k", 10),
+            max_n_update=int(model_cfg.get("max_n_update", MAX_N_UPDATE)),
+        )
+        return self
+
+    # -- train loop ---------------------------------------------------------------
+
+    def train(self, max_epoch=None, verbose=True):
+        """Epoch loop with early stop + checkpoint-on-improvement.
+
+        Returns {"valid_metric": best, "model_save_dir": ckpt_dir, ...}.
+        """
+        max_epoch = max_epoch or int(self.config.model.get("max_epoch", 100))
+        start = time.time()
+        for epoch in range(max_epoch):
+            t0 = time.time()
+            self.params, self.opt_state, self.rng, loss = self.epoch_fn(
+                self.params, self.opt_state, self.rng
+            )
+            loss = float(loss)
+            train_time = time.time() - t0
+            valid_result = (
+                self.valid_evaluator.evaluate(self.params) if self.valid_evaluator else {}
+            )
+            test_result = (
+                self.test_evaluator.evaluate(self.params) if self.test_evaluator else {}
+            )
+            improved = (
+                self.bookkeeper.update(epoch, valid_result, test_result)
+                if valid_result
+                else False
+            )
+            if improved:
+                self.save_checkpoint()
+            if verbose:
+                key = self.bookkeeper.key
+                print(
+                    f"[Epoch {epoch}] loss={loss:.4f} "
+                    f"valid_{key}={valid_result.get(key, float('nan')):.4f} "
+                    f"({train_time * 1000:.0f} ms)"
+                    + (" *" if improved else "")
+                )
+            if valid_result and self.bookkeeper.should_stop:
+                if verbose:
+                    print(f"Early stop at epoch {epoch} (best epoch {self.bookkeeper.best_epoch})")
+                break
+        self.run_time = time.time() - start
+        return {
+            "valid_metric": self.bookkeeper.best_valid_performance,
+            "best_epoch": self.bookkeeper.best_epoch,
+            "model_save_dir": self.checkpoint_dir,
+            "run_time": self.run_time,
+        }
+
+    # -- checkpointing ------------------------------------------------------------
+
+    def save_checkpoint(self):
+        save_checkpoint(
+            self.checkpoint_dir,
+            {"params": self.params, "opt_state": self.opt_state},
+        )
+        save_metadata(
+            self.checkpoint_dir,
+            {
+                "best_valid_performance": self.bookkeeper.best_valid_performance,
+                "best_epoch": self.bookkeeper.best_epoch,
+                "model_run_id": self.model_run_id,
+                "config": self.config.to_dict(),
+            },
+        )
+
+    def resume_checkpoint(self, ckpt_dir=None):
+        target = {"params": self.params, "opt_state": self.opt_state}
+        restored = load_checkpoint(ckpt_dir or self.checkpoint_dir, target)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        return self.params
+
+    # -- final test ---------------------------------------------------------------
+
+    def test(self, test_candidates_list, result_para=None, use_best=True):
+        """Evaluate all n_test candidate copies with the best checkpoint."""
+        if use_best and os.path.exists(self.checkpoint_dir):
+            self.resume_checkpoint()
+        sys_cfg = self.config.system
+        metrics = tuple(sys_cfg.get("metrics", ["ndcg", "precision", "recall", "map"]))
+        ks = tuple(sys_cfg.get("k", [5, 10, 20]))
+        evaluators = [
+            RankingEvaluator(self.model, cand, metrics, ks) for cand in test_candidates_list
+        ]
+        mean_row, rows = test_eval(
+            evaluators,
+            self.params,
+            result_file=self.result_file,
+            result_para=result_para or {},
+            run_time=getattr(self, "run_time", None),
+        )
+        return mean_row

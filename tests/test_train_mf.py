@@ -1,0 +1,132 @@
+"""End-to-end MF training smoke test: synthetic data -> split -> train -> eval.
+
+The first milestone path from SURVEY.md §7.4: config → split → jitted epoch
+loop → early stop → checkpoint → results CSV, asserting the model actually
+learns (valid ndcg@10 well above the random-ranking baseline).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from beta_recsys_tpu.config import Config
+from beta_recsys_tpu.core.train_engine import TrainEngine
+from beta_recsys_tpu.data.base_data import BaseData
+from beta_recsys_tpu.datasets.data_split import feed_neg_sample, leave_one_out
+from beta_recsys_tpu.models import build_model
+from beta_recsys_tpu.utils.alias_table import AliasTable
+from beta_recsys_tpu.utils.constants import (
+    DEFAULT_FLAG_COL,
+    DEFAULT_ITEM_COL,
+    DEFAULT_RATING_COL,
+    DEFAULT_TIMESTAMP_COL,
+    DEFAULT_USER_COL,
+)
+
+
+def make_structured_interactions(n_users=60, n_items=40, per_user=8, seed=0):
+    """Synthetic data with block structure MF can learn: user u likes items
+    congruent to u mod 4."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    t = 0
+    for u in range(n_users):
+        group = u % 4
+        liked = np.arange(group, n_items, 4)
+        items = rng.choice(liked, size=per_user, replace=False)
+        for it in items:
+            rows.append((u, int(it), 1.0, t))
+            t += 1
+    df = pd.DataFrame(rows, columns=[DEFAULT_USER_COL, DEFAULT_ITEM_COL, DEFAULT_RATING_COL, DEFAULT_TIMESTAMP_COL])
+    return df
+
+
+@pytest.fixture(scope="module")
+def mf_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mfrun")
+    df = make_structured_interactions()
+    flagged = leave_one_out(df.copy())
+    train = flagged[flagged[DEFAULT_FLAG_COL] == "train"].copy()
+    valid = flagged[flagged[DEFAULT_FLAG_COL] == "validate"].copy()
+    test = flagged[flagged[DEFAULT_FLAG_COL] == "test"].copy()
+    sampler = AliasTable(flagged[DEFAULT_ITEM_COL].value_counts().to_dict())
+    valid_neg = feed_neg_sample(valid, 20, sampler)
+    test_neg = feed_neg_sample(test, 20, sampler)
+    data = BaseData((train, [valid_neg], [test_neg]))
+
+    cfg = Config(
+        {
+            "system": {
+                "root_dir": str(tmp),
+                "metrics": ["ndcg", "recall"],
+                "k": [5, 10],
+                "valid_metric": "ndcg",
+                "valid_k": 10,
+                "seed": 42,
+                "result_file": "mf_test.csv",
+            },
+            "dataset": {"dataset": "synthetic", "data_split": "leave_one_out"},
+            "model": {
+                "model": "MF",
+                "emb_dim": 16,
+                "batch_size": 128,
+                "loss": "bpr",
+                "optimizer": "adam",
+                "lr": 0.05,
+                "reg": 0.0,
+                "max_epoch": 30,
+                "max_n_update": 10,
+            },
+        }
+    )
+    return cfg, data
+
+
+def test_mf_bpr_end_to_end(mf_setup):
+    cfg, data = mf_setup
+    model = build_model(cfg.model, data.n_users, data.n_items)
+    engine = TrainEngine(cfg)
+    valid_cand = data.eval_candidates(data.valid[0])
+    test_cand = data.eval_candidates(data.test[0])
+    engine.build(model, data, valid_cand, test_cand)
+    result = engine.train(verbose=False)
+    # Random ranking over 21 candidates gives ndcg@10 ~= 0.20; learned >> that.
+    # (Ceiling is ~0.5: the held-out positive competes with ~4 other equally
+    # liked-but-unseen candidates.)
+    assert result["valid_metric"] > 0.35, result
+    # final test writes a results CSV
+    mean_row = engine.test([test_cand], result_para={"model": "MF"})
+    assert "ndcg@10" in mean_row
+    import os
+
+    assert os.path.exists(engine.result_file)
+    assert os.path.exists(engine.checkpoint_dir)
+
+
+def test_mf_bce_end_to_end(mf_setup):
+    cfg, data = mf_setup
+    cfg2 = cfg.replace(model={"loss": "bce", "num_negative": 4, "max_epoch": 20})
+    model = build_model(cfg2.model, data.n_users, data.n_items)
+    engine = TrainEngine(cfg2)
+    valid_cand = data.eval_candidates(data.valid[0])
+    engine.build(model, data, valid_cand, None)
+    result = engine.train(verbose=False)
+    assert result["valid_metric"] > 0.30, result
+
+
+def test_checkpoint_roundtrip(mf_setup):
+    cfg, data = mf_setup
+    model = build_model(cfg.model, data.n_users, data.n_items)
+    engine = TrainEngine(cfg)
+    valid_cand = data.eval_candidates(data.valid[0])
+    engine.build(model, data, valid_cand, None)
+    engine.train(max_epoch=3, verbose=False)
+    import jax
+
+    before = jax.device_get(engine.params)
+    engine.resume_checkpoint()
+    after = jax.device_get(engine.params)
+    # restored params have same structure and finite values
+    assert set(before) == set(after)
+    for k in before:
+        assert np.all(np.isfinite(np.asarray(after[k])))
