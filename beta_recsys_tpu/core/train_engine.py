@@ -143,6 +143,49 @@ def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, 
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
+def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler, donate=True):
+    """Whole-epoch jitted trainer for sequence models (SASRec family).
+
+    ``seq_arrays`` from SequentialData.train_seq_arrays: users (n,), seq/pos
+    (n, maxlen). Each step samples ``batch_size`` users uniformly with
+    replacement (reference semantics: num_batch = n_users // batch_size draws
+    per epoch, recommenders/sasrec.py:46-50) and draws per-position negatives
+    on device, rejected against the user's positives.
+    """
+    users = jnp.asarray(seq_arrays["users"])
+    seq = jnp.asarray(seq_arrays["seq"])
+    pos = jnp.asarray(seq_arrays["pos"])
+    n = users.shape[0]
+    batch_size = min(batch_size, n)
+    num_batches = max(n // batch_size, 1)
+    maxlen = seq.shape[1]
+
+    def epoch_fn(params, opt_state, rng):
+        def step(carry, _):
+            params, opt_state, rng = carry
+            rng, k_row, k_neg, k_loss = jax.random.split(rng, 4)
+            rows = jax.random.randint(k_row, (batch_size,), 0, n)
+            u = users[rows]
+            s = seq[rows]
+            p = pos[rows]
+            # Negatives: 0-indexed draw rejected vs user positives, then +1
+            # into the 1-indexed item space; pad positions masked in the loss.
+            neg0 = neg_sampler(k_neg, u[:, None], (batch_size, maxlen))
+            neg = jnp.where(p != 0, neg0 + 1, 0)
+            batch = {"users": u, "seq": s, "pos": p, "neg": neg}
+            loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), loss
+
+        (params, opt_state, rng), losses = jax.lax.scan(
+            step, (params, opt_state, rng), None, length=num_batches
+        )
+        return params, opt_state, rng, jnp.mean(losses)
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
+
+
 class TrainEngine:
     """Owns one training run: env prep, epoch loop, early stop, checkpointing."""
 
@@ -191,14 +234,23 @@ class TrainEngine:
         self.params = model.init_params(init_key)
         self.opt_state = self.optimizer.init(self.params)
         neg_sampler = make_negative_sampler(data, model_cfg.get("neg_sampler", "auto"))
-        self.epoch_fn = make_epoch_fn(
-            model,
-            self.optimizer,
-            data.train_arrays(),
-            int(model_cfg.get("batch_size", 256)),
-            neg_sampler=neg_sampler,
-            num_neg=int(model_cfg.get("num_negative", 4)),
-        )
+        if getattr(model, "batch_kind", "pairwise") == "sequence":
+            self.epoch_fn = make_sequence_epoch_fn(
+                model,
+                self.optimizer,
+                data.train_seq_arrays(int(model_cfg.get("maxlen", 200))),
+                int(model_cfg.get("batch_size", 128)),
+                neg_sampler=neg_sampler,
+            )
+        else:
+            self.epoch_fn = make_epoch_fn(
+                model,
+                self.optimizer,
+                data.train_arrays(),
+                int(model_cfg.get("batch_size", 256)),
+                neg_sampler=neg_sampler,
+                num_neg=int(model_cfg.get("num_negative", 4)),
+            )
         metrics = tuple(sys_cfg.get("metrics", ["ndcg", "precision", "recall", "map"]))
         ks = tuple(sys_cfg.get("k", [5, 10, 20]))
         self.valid_evaluator = (

@@ -6,11 +6,28 @@ registry maps reference model names (configs/*.json "model" keys) to classes.
 """
 
 from .base import RecModel  # noqa: F401
+from .gmf import GMF
+from .lightgcn import LightGCN
 from .mf import MF
+from .mlp import MLP
+from .ncf import NeuMF
+from .ngcf import NGCF
+from .sasrec import SASRec
 
 MODEL_REGISTRY = {
     "MF": MF,
     "mf": MF,
+    "GMF": GMF,
+    "MLP": MLP,
+    "NCF": NeuMF,
+    "NeuMF": NeuMF,
+    "ncf": NeuMF,
+    "LightGCN": LightGCN,
+    "lightgcn": LightGCN,
+    "NGCF": NGCF,
+    "ngcf": NGCF,
+    "SASRec": SASRec,
+    "sasrec": SASRec,
 }
 
 
