@@ -1,0 +1,107 @@
+"""User-facing Recommender API: Model(config).train(data)/.test()/.predict()/.load().
+
+Mirrors the reference's modern API surface (beta_rec/core/recommender.py:6-68,
+recommenders/matrix_factorization.py:29-110) on top of the TPU engine. One
+generic base covers the whole zoo; per-model subclasses (beta_recsys_tpu.
+recommenders) override ``build_artifacts``/``data_class`` to provide derived
+inputs (adjacency arrays, sequence contexts, pretrained embeddings) explicitly.
+"""
+
+import numpy as np
+import pandas as pd
+
+from ..config import Config, load_config
+from ..data.base_data import BaseData
+from ..models import build_model
+from ..utils.constants import DEFAULT_ITEM_COL, DEFAULT_USER_COL
+from ..utils.monitor import Monitor
+from .train_engine import TrainEngine
+
+
+class Recommender:
+    """Generic config-driven recommender wrapper."""
+
+    model_name = None  # registry key override; defaults to config model name
+    data_class = BaseData
+
+    def __init__(self, config):
+        if isinstance(config, str):
+            config = load_config(config)
+        elif not isinstance(config, Config):
+            config = Config(config)
+        self.config = config
+        self.engine = None
+        self.model = None
+        self.data = None
+
+    # -- hooks ---------------------------------------------------------------------
+
+    def build_artifacts(self, data):
+        """Derived model inputs (adjacency, contexts, pretrained params)."""
+        return {}
+
+    def make_data(self, split_dataset, **kwargs):
+        """Wrap a (train, valid, test) split into this model's data class."""
+        return self.data_class(split_dataset, **kwargs)
+
+    # -- API -----------------------------------------------------------------------
+
+    def train(self, data):
+        """Train on a BaseData-like object; returns valid metric + save dir."""
+        if self.config.model.get("tune"):
+            from ..experiment.tune import tune as run_tune
+
+            return run_tune(self.__class__, self.config, data)
+
+        self.data = data
+        model_cfg = self.config.model
+        artifacts = self.build_artifacts(data)
+        self.model = build_model(
+            model_cfg if self.model_name is None
+            else model_cfg.replace(model=self.model_name),
+            data.n_users,
+            data.n_items,
+            artifacts=artifacts,
+        )
+        self.engine = TrainEngine(self.config)
+        monitor = Monitor(log_dir=self.engine.dirs["run_dir"], delay=1)
+        valid_cand = data.eval_candidates(data.valid[0]) if data.valid else None
+        test_cand = data.eval_candidates(data.test[0]) if data.test else None
+        self.engine.build(self.model, data, valid_cand, test_cand)
+        result = self.engine.train()
+        self.run_time = monitor.stop()
+        result["run_time"] = self.run_time
+        return result
+
+    def test(self, test_df=None):
+        """Final evaluation; defaults to all test candidate copies of the data."""
+        assert self.engine is not None, "call train() first"
+        if test_df is None:
+            tests = self.data.test
+        elif isinstance(test_df, pd.DataFrame):
+            tests = [test_df]
+        else:
+            tests = list(test_df)
+        candidates = [self.data.eval_candidates(df) for df in tests]
+        result_para = {
+            "model": self.config.model.get("model"),
+            "dataset": self.config.dataset.get("dataset"),
+            "data_split": self.config.dataset.get("data_split"),
+        }
+        return self.engine.test(candidates, result_para=result_para)
+
+    def predict(self, data_df):
+        """Scores for explicit (user, item) pairs in a DataFrame."""
+        assert self.model is not None, "call train() or load() first"
+        import jax.numpy as jnp
+
+        users = jnp.asarray(data_df[DEFAULT_USER_COL].to_numpy(np.int32))
+        items = jnp.asarray(data_df[DEFAULT_ITEM_COL].to_numpy(np.int32))
+        scores = self.model.score_pairs(self.engine.params, users, items)
+        return np.asarray(scores)
+
+    def load(self, model_dir):
+        """Restore the best checkpoint from a save dir."""
+        assert self.engine is not None, "build via train() before load()"
+        self.engine.resume_checkpoint(model_dir)
+        return self

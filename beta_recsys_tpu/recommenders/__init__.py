@@ -1,0 +1,109 @@
+"""User-facing recommender wrappers, one per model family.
+
+Mirrors the reference export surface (beta_rec/recommenders/__init__.py:1-24).
+Each wrapper wires the right data class and derived artifacts; all heavy
+lifting is the generic Recommender + TrainEngine.
+"""
+
+from ..core.recommender import Recommender
+from ..data.sequential_data import SequentialData
+
+
+class MatrixFactorization(Recommender):
+    """MF with BPR/BCE (reference recommenders/matrix_factorization.py)."""
+
+    model_name = "MF"
+
+
+class GMFRecommender(Recommender):
+    model_name = "GMF"
+
+
+class MLPRecommender(Recommender):
+    model_name = "MLP"
+
+
+class NeuCF(Recommender):
+    """NeuMF, optionally warm-started from pretrained GMF/MLP checkpoints."""
+
+    model_name = "NCF"
+
+    def __init__(self, config, gmf_params=None, mlp_params=None):
+        super().__init__(config)
+        self._pretrained = {"gmf_params": gmf_params, "mlp_params": mlp_params}
+
+    def build_artifacts(self, data):
+        return {k: v for k, v in self._pretrained.items() if v is not None}
+
+
+class LightGCN(Recommender):
+    """LightGCN over the sym-normalized interaction graph
+    (reference recommenders/lightgcn.py builds norm_adj host-side)."""
+
+    model_name = "LightGCN"
+
+    def build_artifacts(self, data):
+        return {"adj": data.get_norm_adj("sym")}
+
+
+class NGCF(Recommender):
+    model_name = "NGCF"
+
+    def build_artifacts(self, data):
+        return {"adj": data.get_norm_adj("row")}
+
+
+class SASRec(Recommender):
+    """SASRec sequential recommender (reference recommenders/sasrec.py)."""
+
+    model_name = "SASRec"
+    data_class = SequentialData
+
+    def build_artifacts(self, data):
+        maxlen = int(self.config.model.get("maxlen", 200))
+        return {"ctx": data.eval_context(maxlen)}
+
+    def test(self, test_df=None):
+        """Final test scores use train+valid context (reference
+        eval_engine.test_seq_predict semantics)."""
+        assert self.engine is not None, "call train() first"
+        maxlen = int(self.config.model.get("maxlen", 200))
+        test_ctx = self.data.eval_context(maxlen, extra_df=self.data.valid[0])
+        test_model = self.model.with_context(test_ctx)
+        tests = self.data.test if test_df is None else (
+            [test_df] if not isinstance(test_df, list) else test_df
+        )
+        candidates = [self.data.eval_candidates(df) for df in tests]
+        from ..core.eval_engine import test_eval, RankingEvaluator
+
+        sys_cfg = self.config.system
+        metrics = tuple(sys_cfg.get("metrics", ["ndcg", "precision", "recall", "map"]))
+        ks = tuple(sys_cfg.get("k", [5, 10, 20]))
+        import os
+
+        if os.path.exists(self.engine.checkpoint_dir):
+            self.engine.resume_checkpoint()
+        evaluators = [RankingEvaluator(test_model, c, metrics, ks) for c in candidates]
+        mean_row, _ = test_eval(
+            evaluators,
+            self.engine.params,
+            result_file=self.engine.result_file,
+            result_para={
+                "model": "SASRec",
+                "dataset": self.config.dataset.get("dataset"),
+            },
+            run_time=getattr(self, "run_time", None),
+        )
+        return mean_row
+
+
+__all__ = [
+    "Recommender",
+    "MatrixFactorization",
+    "GMFRecommender",
+    "MLPRecommender",
+    "NeuCF",
+    "LightGCN",
+    "NGCF",
+    "SASRec",
+]

@@ -1,0 +1,107 @@
+"""User-facing API tests: Recommender wrappers, tune sweep, Experiment matrix."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from beta_recsys_tpu.config import Config
+from beta_recsys_tpu.data.base_data import BaseData
+from beta_recsys_tpu.datasets.data_split import feed_neg_sample, leave_one_out
+from beta_recsys_tpu.recommenders import LightGCN, MatrixFactorization
+from beta_recsys_tpu.utils.alias_table import AliasTable
+from beta_recsys_tpu.utils.constants import (
+    DEFAULT_FLAG_COL,
+    DEFAULT_ITEM_COL,
+    DEFAULT_RATING_COL,
+    DEFAULT_TIMESTAMP_COL,
+    DEFAULT_USER_COL,
+)
+from tests.test_train_mf import make_structured_interactions
+
+
+@pytest.fixture(scope="module")
+def data():
+    df = make_structured_interactions()
+    flagged = leave_one_out(df.copy())
+    train = flagged[flagged[DEFAULT_FLAG_COL] == "train"].copy()
+    valid = flagged[flagged[DEFAULT_FLAG_COL] == "validate"].copy()
+    test = flagged[flagged[DEFAULT_FLAG_COL] == "test"].copy()
+    sampler = AliasTable(flagged[DEFAULT_ITEM_COL].value_counts().to_dict())
+    return BaseData(
+        (train, [feed_neg_sample(valid, 20, sampler)], [feed_neg_sample(test, 20, sampler)])
+    )
+
+
+def _cfg(tmp_path, **model_overrides):
+    model = {
+        "model": "MF",
+        "emb_dim": 16,
+        "batch_size": 128,
+        "loss": "bpr",
+        "optimizer": "adam",
+        "lr": 0.05,
+        "max_epoch": 15,
+        "max_n_update": 5,
+    }
+    model.update(model_overrides)
+    return Config(
+        {
+            "system": {
+                "root_dir": str(tmp_path),
+                "metrics": ["ndcg", "recall"],
+                "k": [10],
+                "valid_metric": "ndcg",
+                "valid_k": 10,
+                "seed": 1,
+                "result_file": "res.csv",
+            },
+            "dataset": {"dataset": "synthetic", "data_split": "leave_one_out"},
+            "model": model,
+            "tunable": [{"name": "lr", "type": "choice", "values": [0.1, 0.01]}],
+        }
+    )
+
+
+def test_mf_wrapper_train_test_predict_load(tmp_path, data):
+    rec = MatrixFactorization(_cfg(tmp_path))
+    result = rec.train(data)
+    assert result["valid_metric"] > 0.3
+    row = rec.test()
+    assert "ndcg@10" in row
+    pairs = data.test[0].head(10)
+    scores = rec.predict(pairs)
+    assert scores.shape == (10,) and np.all(np.isfinite(scores))
+    rec.load(result["model_save_dir"])
+
+
+def test_lightgcn_wrapper(tmp_path, data):
+    rec = LightGCN(
+        _cfg(tmp_path, model="LightGCN", layer_size=[16, 16], regs=[1e-4], keep_pro=0.9, max_epoch=10)
+    )
+    result = rec.train(data)
+    assert result["valid_metric"] > 0.3, result
+
+
+def test_tune_grid(tmp_path, data):
+    cfg = _cfg(tmp_path, max_epoch=4, tune=True)
+    rec = MatrixFactorization(cfg)
+    result = rec.train(data)
+    assert "tune_result" in result
+    table = result["tune_result"]
+    assert len(table) == 2 and set(table["lr"]) == {0.1, 0.01}
+    import os
+
+    assert os.path.exists(os.path.join(str(tmp_path), "tune_results/", "tune_result.csv"))
+
+
+def test_experiment_matrix(tmp_path, data):
+    from beta_recsys_tpu.experiment import Experiment
+
+    models = [
+        MatrixFactorization(_cfg(tmp_path, max_epoch=3)),
+        MatrixFactorization(_cfg(tmp_path, max_epoch=3, loss="bce")),
+    ]
+    exp = Experiment([data], models, metrics=["ndcg", "recall"], eval_scopes=[5, 10])
+    results = exp.run()
+    assert len(results) == 2
+    assert "ndcg@10" in results.columns
