@@ -125,14 +125,20 @@ def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, 
                     "items": jnp.concatenate([it, neg]),
                     "labels": jnp.concatenate([r, jnp.zeros_like(neg, dtype=r.dtype)]),
                 }
+            elif kind == "multineg":
+                neg = neg_sampler(k_neg, u[:, None], (batch_size, num_neg))
+                batch = {"users": u, "pos_items": it, "neg_items": neg}
             else:
                 raise ValueError(
-                    f"make_epoch_fn handles pairwise/pointwise; got {kind} — "
+                    f"make_epoch_fn handles pairwise/pointwise/multineg; got {kind} — "
                     "use the model family's dedicated epoch builder"
                 )
             loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            post = getattr(model, "post_update", None)
+            if post is not None:
+                params = post(params)
             return (params, opt_state, rng), loss
 
         (params, opt_state, rng), losses = jax.lax.scan(
@@ -180,6 +186,87 @@ def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler
 
         (params, opt_state, rng), losses = jax.lax.scan(
             step, (params, opt_state, rng), None, length=num_batches
+        )
+        return params, opt_state, rng, jnp.mean(losses)
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
+
+
+def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True):
+    """Whole-epoch trainer over dense user rows (VAE family).
+
+    ``user_rows``: (n_users, n_items) float matrix (binarized interactions);
+    each step takes a permuted slice of user rows (reference VAECF epoch loop,
+    beta_rec/models/vaecf.py:144-167).
+    """
+    rows_mat = jnp.asarray(user_rows)
+    n = rows_mat.shape[0]
+    batch_size = min(batch_size, n)
+    num_batches = -(-n // batch_size)
+    padded_size = num_batches * batch_size
+
+    def epoch_fn(params, opt_state, rng):
+        rng, perm_key = jax.random.split(rng)
+        order = _padded_order(jax.random.permutation(perm_key, n), padded_size)
+        order = order.reshape(num_batches, batch_size)
+
+        def step(carry, batch_order):
+            params, opt_state, rng = carry
+            rng, k_loss = jax.random.split(rng)
+            batch = {"rows": rows_mat[batch_order], "users": batch_order}
+            loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), loss
+
+        (params, opt_state, rng), losses = jax.lax.scan(
+            step, (params, opt_state, rng), order
+        )
+        return params, opt_state, rng, jnp.mean(losses)
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
+
+
+def make_triple_epoch_fn(model, optimizer, triples, batch_size, n_users, n_items, n_neg, donate=True):
+    """Whole-epoch trainer over (user, item_i, item_j[, t]) basket triples.
+
+    Negative users/items are drawn uniformly on device each step (the reference
+    draws from popularity samplers per batch, recommenders/triple2vec.py).
+    """
+    users = jnp.asarray(triples["users"])
+    item1 = jnp.asarray(triples["item1"])
+    item2 = jnp.asarray(triples["item2"])
+    t_arr = jnp.asarray(triples["t"]) if "t" in triples else None
+    n = users.shape[0]
+    batch_size = min(batch_size, n)
+    num_batches = -(-n // batch_size)
+    padded_size = num_batches * batch_size
+
+    def epoch_fn(params, opt_state, rng):
+        rng, perm_key = jax.random.split(rng)
+        order = _padded_order(jax.random.permutation(perm_key, n), padded_size)
+        order = order.reshape(num_batches, batch_size)
+
+        def step(carry, batch_order):
+            params, opt_state, rng = carry
+            rng, k1, k2, k3, k_loss = jax.random.split(rng, 5)
+            batch = {
+                "users": users[batch_order],
+                "item1": item1[batch_order],
+                "item2": item2[batch_order],
+                "neg_users": jax.random.randint(k1, (batch_size, n_neg), 0, n_users, dtype=jnp.int32),
+                "neg_item1": jax.random.randint(k2, (batch_size, n_neg), 0, n_items, dtype=jnp.int32),
+                "neg_item2": jax.random.randint(k3, (batch_size, n_neg), 0, n_items, dtype=jnp.int32),
+            }
+            if t_arr is not None:
+                batch["t"] = t_arr[batch_order]
+            loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), loss
+
+        (params, opt_state, rng), losses = jax.lax.scan(
+            step, (params, opt_state, rng), order
         )
         return params, opt_state, rng, jnp.mean(losses)
 
@@ -234,13 +321,38 @@ class TrainEngine:
         self.params = model.init_params(init_key)
         self.opt_state = self.optimizer.init(self.params)
         neg_sampler = make_negative_sampler(data, model_cfg.get("neg_sampler", "auto"))
-        if getattr(model, "batch_kind", "pairwise") == "sequence":
+        kind = getattr(model, "batch_kind", "pairwise")
+        if kind == "none":
+            self.epoch_fn = None  # neighborhood models: nothing to train
+        elif kind == "sequence":
             self.epoch_fn = make_sequence_epoch_fn(
                 model,
                 self.optimizer,
                 data.train_seq_arrays(int(model_cfg.get("maxlen", 200))),
                 int(model_cfg.get("batch_size", 128)),
                 neg_sampler=neg_sampler,
+            )
+        elif kind == "userrow":
+            import numpy as _np
+
+            rows = _np.asarray(data.user_item_csr().todense(), dtype=_np.float32)
+            rows = (rows > 0).astype(_np.float32)
+            self.epoch_fn = make_userrow_epoch_fn(
+                model, self.optimizer, rows, int(model_cfg.get("batch_size", 256))
+            )
+        elif kind == "triple":
+            triples = data.sample_triples(
+                int(model_cfg.get("n_sample", 100_000)),
+                time_step=int(model_cfg.get("time_step", 0)),
+            )
+            self.epoch_fn = make_triple_epoch_fn(
+                model,
+                self.optimizer,
+                triples,
+                int(model_cfg.get("batch_size", 256)),
+                data.n_users,
+                data.n_items,
+                int(model_cfg.get("n_neg", 5)),
             )
         else:
             self.epoch_fn = make_epoch_fn(
@@ -279,6 +391,21 @@ class TrainEngine:
         """
         max_epoch = max_epoch or int(self.config.model.get("max_epoch", 100))
         start = time.time()
+        if self.epoch_fn is None:
+            # Non-gradient model (KNN family): evaluate once, checkpoint, done.
+            valid_result = (
+                self.valid_evaluator.evaluate(self.params) if self.valid_evaluator else {}
+            )
+            if valid_result:
+                self.bookkeeper.update(0, valid_result)
+                self.save_checkpoint()
+            self.run_time = time.time() - start
+            return {
+                "valid_metric": self.bookkeeper.best_valid_performance,
+                "best_epoch": 0,
+                "model_save_dir": self.checkpoint_dir,
+                "run_time": self.run_time,
+            }
         for epoch in range(max_epoch):
             t0 = time.time()
             self.params, self.opt_state, self.rng, loss = self.epoch_fn(

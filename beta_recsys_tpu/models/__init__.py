@@ -6,13 +6,20 @@ registry maps reference model names (configs/*.json "model" keys) to classes.
 """
 
 from .base import RecModel  # noqa: F401
+from .buir import BUIR
 from .gmf import GMF
+from .knn import ItemKNN, UserKNN
 from .lightgcn import LightGCN
 from .mf import MF
 from .mlp import MLP
 from .ncf import NeuMF
 from .ngcf import NGCF
+from .pairwise_gmf import PairwiseGMF
 from .sasrec import SASRec
+from .simgcl import SimGCL
+from .triple2vec import Triple2vec
+from .ultragcn import UltraGCN
+from .vaecf import VAECF
 
 MODEL_REGISTRY = {
     "MF": MF,
@@ -22,12 +29,27 @@ MODEL_REGISTRY = {
     "NCF": NeuMF,
     "NeuMF": NeuMF,
     "ncf": NeuMF,
+    "PairwiseGMF": PairwiseGMF,
     "LightGCN": LightGCN,
     "lightgcn": LightGCN,
     "NGCF": NGCF,
     "ngcf": NGCF,
     "SASRec": SASRec,
     "sasrec": SASRec,
+    "SimGCL": SimGCL,
+    "simgcl": SimGCL,
+    "BUIR": BUIR,
+    "buir": BUIR,
+    "UltraGCN": UltraGCN,
+    "ultragcn": UltraGCN,
+    "VAECF": VAECF,
+    "vaecf": VAECF,
+    "Triple2vec": Triple2vec,
+    "triple2vec": Triple2vec,
+    "UserKNN": UserKNN,
+    "userKNN": UserKNN,
+    "ItemKNN": ItemKNN,
+    "itemKNN": ItemKNN,
 }
 
 

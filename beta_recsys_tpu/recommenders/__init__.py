@@ -6,6 +6,7 @@ lifting is the generic Recommender + TrainEngine.
 """
 
 from ..core.recommender import Recommender
+from ..data.grocery_data import GroceryData
 from ..data.sequential_data import SequentialData
 
 
@@ -97,6 +98,67 @@ class SASRec(Recommender):
         return mean_row
 
 
+class SimGCL(Recommender):
+    model_name = "SimGCL"
+
+    def build_artifacts(self, data):
+        return {"adj": data.get_norm_adj("sym")}
+
+
+class BUIR(Recommender):
+    model_name = "BUIR"
+
+    def build_artifacts(self, data):
+        return {"adj": data.get_norm_adj("sym")}
+
+
+class UltraGCN(Recommender):
+    """UltraGCN with host-precomputed constraint and item-item matrices."""
+
+    model_name = "UltraGCN"
+
+    def build_artifacts(self, data):
+        from ..ops.ultragcn_prep import get_ii_constraint_mat
+
+        train_mat, beta_uD, beta_iD = data.create_constraint_mat()
+        k = int(self.config.model.get("ii_neighbor_num", 10))
+        nb, sims = get_ii_constraint_mat(train_mat, k)
+        return {
+            "constraint": (beta_uD, beta_iD),
+            "ii_neighbors": nb,
+            "ii_sims": sims,
+        }
+
+
+class VAECF(Recommender):
+    model_name = "VAECF"
+
+    def build_artifacts(self, data):
+        import numpy as np
+
+        rows = np.asarray(data.user_item_csr().todense(), dtype=np.float32)
+        return {"user_rows": (rows > 0).astype(np.float32)}
+
+
+class Triple2vec(Recommender):
+    model_name = "Triple2vec"
+    data_class = GroceryData
+
+
+class UserKNNRecommender(Recommender):
+    model_name = "UserKNN"
+
+    def build_artifacts(self, data):
+        return {"interactions": data.user_item_csr()}
+
+
+class ItemKNNRecommender(Recommender):
+    model_name = "ItemKNN"
+
+    def build_artifacts(self, data):
+        return {"interactions": data.user_item_csr()}
+
+
 __all__ = [
     "Recommender",
     "MatrixFactorization",
@@ -106,4 +168,11 @@ __all__ = [
     "LightGCN",
     "NGCF",
     "SASRec",
+    "SimGCL",
+    "BUIR",
+    "UltraGCN",
+    "VAECF",
+    "Triple2vec",
+    "UserKNNRecommender",
+    "ItemKNNRecommender",
 ]
