@@ -192,6 +192,75 @@ def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
+def make_prefix_epoch_fn(model, optimizer, arrays, batch_size, donate=True):
+    """Whole-epoch trainer over (prefix, target) session examples (NARM family)."""
+    seq = jnp.asarray(arrays["seq"])
+    target = jnp.asarray(arrays["target"])
+    n = seq.shape[0]
+    batch_size = min(batch_size, n)
+    num_batches = -(-n // batch_size)
+    padded_size = num_batches * batch_size
+
+    def epoch_fn(params, opt_state, rng):
+        rng, perm_key = jax.random.split(rng)
+        order = _padded_order(jax.random.permutation(perm_key, n), padded_size)
+        order = order.reshape(num_batches, batch_size)
+
+        def step(carry, batch_order):
+            params, opt_state, rng = carry
+            rng, k_loss = jax.random.split(rng)
+            batch = {"seq": seq[batch_order], "target": target[batch_order]}
+            loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), loss
+
+        (params, opt_state, rng), losses = jax.lax.scan(step, (params, opt_state, rng), order)
+        return params, opt_state, rng, jnp.mean(losses)
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
+
+
+def make_sequence_time_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler, donate=True):
+    """Sequence trainer with per-user time-interval matrices (TiSASRec)."""
+    users = jnp.asarray(seq_arrays["users"])
+    seq = jnp.asarray(seq_arrays["seq"])
+    pos = jnp.asarray(seq_arrays["pos"])
+    time_matrix = jnp.asarray(seq_arrays["time_matrix"])
+    n = users.shape[0]
+    batch_size = min(batch_size, n)
+    num_batches = max(n // batch_size, 1)
+    maxlen = seq.shape[1]
+
+    def epoch_fn(params, opt_state, rng):
+        def step(carry, _):
+            params, opt_state, rng = carry
+            rng, k_row, k_neg, k_loss = jax.random.split(rng, 4)
+            rows = jax.random.randint(k_row, (batch_size,), 0, n)
+            u = users[rows]
+            p = pos[rows]
+            neg0 = neg_sampler(k_neg, u[:, None], (batch_size, maxlen))
+            neg = jnp.where(p != 0, neg0 + 1, 0)
+            batch = {
+                "users": u,
+                "seq": seq[rows],
+                "pos": p,
+                "neg": neg,
+                "time_matrix": time_matrix[rows],
+            }
+            loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), loss
+
+        (params, opt_state, rng), losses = jax.lax.scan(
+            step, (params, opt_state, rng), None, length=num_batches
+        )
+        return params, opt_state, rng, jnp.mean(losses)
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
+
+
 def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True):
     """Whole-epoch trainer over dense user rows (VAE family).
 
@@ -324,6 +393,24 @@ class TrainEngine:
         kind = getattr(model, "batch_kind", "pairwise")
         if kind == "none":
             self.epoch_fn = None  # neighborhood models: nothing to train
+        elif kind == "prefix":
+            self.epoch_fn = make_prefix_epoch_fn(
+                model,
+                self.optimizer,
+                data.prefix_target_arrays(int(model_cfg.get("maxlen", 19))),
+                int(model_cfg.get("batch_size", 128)),
+            )
+        elif kind == "sequence_time":
+            self.epoch_fn = make_sequence_time_epoch_fn(
+                model,
+                self.optimizer,
+                data.tisasrec_arrays(
+                    int(model_cfg.get("maxlen", 200)),
+                    int(model_cfg.get("time_span", 256)),
+                ),
+                int(model_cfg.get("batch_size", 128)),
+                neg_sampler=neg_sampler,
+            )
         elif kind == "sequence":
             self.epoch_fn = make_sequence_epoch_fn(
                 model,
@@ -361,7 +448,7 @@ class TrainEngine:
                 data.train_arrays(),
                 int(model_cfg.get("batch_size", 256)),
                 neg_sampler=neg_sampler,
-                num_neg=int(model_cfg.get("num_negative", 4)),
+                num_neg=int(getattr(model, "num_neg", model_cfg.get("num_negative", 4))),
             )
         metrics = tuple(sys_cfg.get("metrics", ["ndcg", "precision", "recall", "map"]))
         ks = tuple(sys_cfg.get("k", [5, 10, 20]))

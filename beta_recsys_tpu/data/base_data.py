@@ -318,6 +318,38 @@ class BaseData:
         return adj.row.astype(np.int32), adj.col.astype(np.int32), vals.astype(np.float32)
 
 
+    def get_graph_embeddings(self, cut_off=0.2, tol=1e-5):
+        """Hypergraph-Laplacian eigenvectors for LCFN's low-pass filters.
+
+        L_u = I - D_n^-1/2 H_u D_e^-1 H_u^T D_n^-1/2 over the user hypergraph
+        (items as hyperedges) and symmetrically for items; smallest
+        ceil(cut_off * n) eigenvectors via scipy eigsh (host-side one-off
+        preprocessing — reference data/deprecated_data_base.py:411-467,
+        vectorized construction).
+        """
+        from scipy.sparse.linalg import eigsh
+
+        eps = 1e-10
+        H = self.user_item_csr()
+        H.data[:] = 1.0
+        d_u = np.asarray(H.sum(axis=1)).flatten()  # user degrees
+        d_v = np.asarray(H.sum(axis=0)).flatten()  # item degrees
+
+        dn_u = sp.diags(1.0 / np.maximum(np.sqrt(d_u), eps))
+        de_v = sp.diags(1.0 / np.maximum(d_v, eps))
+        L_u = sp.eye(self.n_users) - dn_u @ H @ de_v @ H.T @ dn_u
+
+        dn_v = sp.diags(1.0 / np.maximum(np.sqrt(d_v), eps))
+        de_u = sp.diags(1.0 / np.maximum(d_u, eps))
+        L_v = sp.eye(self.n_items) - dn_v @ H.T @ de_u @ H @ dn_v
+
+        k_u = max(int(cut_off * self.n_users), 1)
+        k_v = max(int(cut_off * self.n_items), 1)
+        _, P = eigsh(L_u.tocsc(), k=k_u, which="SM", tol=tol)
+        _, Q = eigsh(L_v.tocsc(), k=k_v, which="SM", tol=tol)
+        return P.astype(np.float32), Q.astype(np.float32)
+
+
 def _row_normalize(adj):
     """D^-1 A row normalization for scipy sparse matrices."""
     rowsum = np.asarray(adj.sum(axis=1)).flatten()

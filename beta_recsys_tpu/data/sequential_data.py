@@ -68,6 +68,83 @@ class SequentialData(BaseData):
             "pos": np.asarray(pos_rows, dtype=np.int32),
         }
 
+    def prefix_target_arrays(self, maxlen):
+        """(prefix, target) expansion for session models (NARM).
+
+        Every position t >= 1 of each user sequence yields one example:
+        seq = last maxlen items before t (left-padded), target = item at t
+        (reference seq_data_utils.dataset_to_seq_target_format:107-128).
+        """
+        seqs = self.get_train_seq()
+        seq_rows, targets = [], []
+        for items in seqs:
+            for t in range(1, len(items)):
+                prefix = items[max(0, t - maxlen):t]
+                pad = maxlen - len(prefix)
+                seq_rows.append(np.pad(prefix, (pad, 0)))
+                targets.append(items[t])
+        return {
+            "seq": np.asarray(seq_rows, dtype=np.int32),
+            "target": np.asarray(targets, dtype=np.int32),
+        }
+
+    def _user_times(self):
+        """Per-user scaled timestamps aligned with get_train_seq.
+
+        Each user's timestamps are divided by their minimum nonzero gap
+        (personalized time scale, reference recommenders/tisasrec.py:86-104).
+        """
+        df = self.train.sort_values(by=[DEFAULT_TIMESTAMP_COL], kind="stable")
+        times = [[] for _ in range(self.n_users)]
+        for u, ts in zip(df[DEFAULT_USER_COL].to_numpy(), df[DEFAULT_TIMESTAMP_COL].to_numpy()):
+            times[u].append(ts)
+        scaled = []
+        for ts in times:
+            ts = np.asarray(ts, dtype=np.int64)
+            if len(ts) > 1:
+                gaps = np.diff(np.sort(ts))
+                gaps = gaps[gaps > 0]
+                scale = gaps.min() if len(gaps) else 1
+            else:
+                scale = 1
+            scaled.append(np.round((ts - (ts.min() if len(ts) else 0)) / scale).astype(np.int64) + 1)
+        return scaled
+
+    @staticmethod
+    def _clipped_interval_matrix(time_row, time_span):
+        """Vectorized |t_i - t_j| clipped to time_span (replaces the reference's
+        O(L^2) Python loops, recommenders/tisasrec.py:108-130)."""
+        diff = np.abs(time_row[:, None].astype(np.int64) - time_row[None, :])
+        return np.minimum(diff, time_span).astype(np.int32)
+
+    def tisasrec_arrays(self, maxlen, time_span):
+        """TiSASRec training arrays: users/seq/pos plus per-user clipped
+        time-interval matrices (n, maxlen, maxlen)."""
+        base = self.train_seq_arrays(maxlen)
+        times = self._user_times()
+        mats = np.zeros((len(base["users"]), maxlen, maxlen), dtype=np.int32)
+        for row, u in enumerate(base["users"]):
+            ts = times[u][:-1][-maxlen:]
+            padded = np.zeros(maxlen, dtype=np.int64)
+            if len(ts):
+                padded[maxlen - len(ts):] = ts
+            mats[row] = self._clipped_interval_matrix(padded, time_span)
+        base["time_matrix"] = mats
+        return base
+
+    def tisasrec_eval_context(self, maxlen, time_span, extra_df=None):
+        """(ctx, ctx_time_matrix) for TiSASRec scoring."""
+        ctx = self.eval_context(maxlen, extra_df=extra_df)
+        times = self._user_times()
+        mats = np.zeros((self.n_users, maxlen, maxlen), dtype=np.int32)
+        for u in range(self.n_users):
+            ts = times[u][-maxlen:]
+            padded = np.zeros(maxlen, dtype=np.int64)
+            if len(ts):
+                padded[maxlen - len(ts):] = ts
+            mats[u] = self._clipped_interval_matrix(padded, time_span)
+        return ctx, mats
+
     def eval_context(self, maxlen, extra_df=None):
         """(n_users, maxlen) context matrix: each user's train sequence,
         optionally extended with positively-rated items of ``extra_df``

@@ -7,6 +7,14 @@ registry maps reference model names (configs/*.json "model" keys) to classes.
 
 from .base import RecModel  # noqa: F401
 from .buir import BUIR
+from .cmn import CMN
+from .lcfn import LCFN
+from .mixgcf import MixGCF
+from .narm import NARM
+from .sgl import SGL
+from .tisasrec import TiSASRec
+from .tvbr import TVBR
+from .vbcar import VBCAR
 from .gmf import GMF
 from .knn import ItemKNN, UserKNN
 from .lightgcn import LightGCN
@@ -50,6 +58,22 @@ MODEL_REGISTRY = {
     "userKNN": UserKNN,
     "ItemKNN": ItemKNN,
     "itemKNN": ItemKNN,
+    "SGL": SGL,
+    "sgl": SGL,
+    "MixGCF": MixGCF,
+    "mixgcf": MixGCF,
+    "LCFN": LCFN,
+    "lcfn": LCFN,
+    "NARM": NARM,
+    "narm": NARM,
+    "TiSASRec": TiSASRec,
+    "tisasrec": TiSASRec,
+    "CMN": CMN,
+    "cmn": CMN,
+    "VBCAR": VBCAR,
+    "vbcar": VBCAR,
+    "TVBR": TVBR,
+    "tvbr": TVBR,
 }
 
 

@@ -28,6 +28,28 @@ def edge_dropout(rng, vals, keep_prob):
     return jnp.where(keep, vals / keep_prob, 0.0)
 
 
+def sgl_augment(rng, rows, cols, n_nodes, aug_type=1, ssl_ratio=0.1):
+    """On-device SGL graph augmentation: returns re-normalized edge values.
+
+    aug_type 0 (node dropout): drop a node subset; edges touching dropped nodes
+    vanish. aug_type 1/2 (edge dropout / random walk): drop edges independently.
+    The surviving subgraph is sym-renormalized D^-1/2 A D^-1/2 on device
+    (the reference rebuilds scipy matrices per epoch host-side,
+    beta_rec/data/base_data.py:433-496; here a fresh view is drawn per loss
+    call with no host round-trip).
+    """
+    if aug_type == 0:
+        k1, k2 = jax.random.split(rng)
+        node_keep = jax.random.uniform(k1, (n_nodes,)) >= ssl_ratio
+        keep = node_keep[rows] & node_keep[cols]
+    else:
+        keep = jax.random.uniform(rng, rows.shape) >= ssl_ratio
+    ones = jnp.where(keep, 1.0, 0.0)
+    deg = jax.ops.segment_sum(ones, rows, num_segments=n_nodes)
+    d_inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+    return ones * d_inv_sqrt[rows] * d_inv_sqrt[cols]
+
+
 def lightgcn_propagate(rows, cols, vals, user_emb, item_emb, n_layers):
     """Layer-averaged LightGCN propagation over the joint (users+items) graph.
 

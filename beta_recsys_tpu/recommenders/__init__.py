@@ -159,6 +159,87 @@ class ItemKNNRecommender(Recommender):
         return {"interactions": data.user_item_csr()}
 
 
+class SGL(Recommender):
+    model_name = "SGL"
+
+    def build_artifacts(self, data):
+        return {"adj": data.get_norm_adj("sym")}
+
+
+class MixGCF(Recommender):
+    model_name = "MixGCF"
+
+    def build_artifacts(self, data):
+        return {"adj": data.get_norm_adj("sym")}
+
+
+class LCFN(Recommender):
+    """LCFN: needs one-off host-side hypergraph eigendecomposition."""
+
+    model_name = "LCFN"
+
+    def build_artifacts(self, data):
+        cut_off = float(self.config.model.get("cut_off", 0.2))
+        return {"graph_embeddings": data.get_graph_embeddings(cut_off)}
+
+
+class NARM(Recommender):
+    model_name = "NARM"
+    data_class = SequentialData
+
+    def build_artifacts(self, data):
+        maxlen = int(self.config.model.get("maxlen", 19))
+        return {"ctx": data.eval_context(maxlen)}
+
+
+class TiSASRec(Recommender):
+    model_name = "TiSASRec"
+    data_class = SequentialData
+
+    def build_artifacts(self, data):
+        maxlen = int(self.config.model.get("maxlen", 50))
+        time_span = int(self.config.model.get("time_span", 256))
+        ctx, ctx_time = data.tisasrec_eval_context(maxlen, time_span)
+        return {"ctx": ctx, "ctx_time": ctx_time}
+
+
+class CMN(Recommender):
+    """CMN, optionally warm-started from PairwiseGMF embeddings."""
+
+    model_name = "CMN"
+
+    def __init__(self, config, user_embeddings=None, item_embeddings=None):
+        super().__init__(config)
+        self._pretrained = {
+            "user_embeddings": user_embeddings,
+            "item_embeddings": item_embeddings,
+        }
+
+    def build_artifacts(self, data):
+        from ..models.cmn import build_item_neighborhoods
+
+        nb, nb_len = build_item_neighborhoods(data.user_item_csr())
+        art = {"item_neighbors": nb, "item_nb_len": nb_len}
+        art.update({k: v for k, v in self._pretrained.items() if v is not None})
+        return art
+
+
+class VBCAR(Recommender):
+    model_name = "VBCAR"
+    data_class = GroceryData
+
+    def build_artifacts(self, data):
+        user_fea, item_fea = data.user_item_features(
+            fea_type=self.config.model.get("item_fea_type", "random"),
+            emb_dim=int(self.config.model.get("late_dim", 128)),
+        )
+        return {"user_fea": user_fea, "item_fea": item_fea}
+
+
+class TVBR(VBCAR):
+    model_name = "TVBR"
+
+
 __all__ = [
     "Recommender",
     "MatrixFactorization",
@@ -175,4 +256,12 @@ __all__ = [
     "Triple2vec",
     "UserKNNRecommender",
     "ItemKNNRecommender",
+    "SGL",
+    "MixGCF",
+    "LCFN",
+    "NARM",
+    "TiSASRec",
+    "CMN",
+    "VBCAR",
+    "TVBR",
 ]
