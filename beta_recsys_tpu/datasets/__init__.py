@@ -1,4 +1,13 @@
-"""On-disk dataset layer: download, preprocess, split, cache."""
+"""On-disk dataset layer: download, preprocess, split, cache, adapters."""
+
+from .data_load import (  # noqa: F401
+    DATASET_REGISTRY,
+    build_dataset,
+    load_item_fea_dic,
+    load_split_dataset,
+    load_user_fea_dic,
+)
+from .dataset_base import DatasetBase  # noqa: F401
 
 from .data_split import (  # noqa: F401
     feed_neg_sample,

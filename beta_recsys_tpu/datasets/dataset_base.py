@@ -1,0 +1,194 @@
+"""On-disk dataset lifecycle: download -> preprocess -> split -> cache.
+
+Reference parity: beta_rec/datasets/dataset_base.py:34-980 — every dataset
+lives under ``<root>/datasets/<name>/{raw,processed}``; ``preprocess`` (per
+adapter) turns raw files into a canonical interaction npz; ``make_*`` builds
+each of the six splits (+negative-sampled eval copies); ``load_*`` returns
+cached splits, building on miss; ``load_split`` dispatches from a config.
+Download is best-effort (some environments have no network; the reference's
+OneDrive processed-split downloads are preserved as URLs but optional).
+"""
+
+import os
+
+import pandas as pd
+
+from ..utils.common import ensure_dir, get_dataframe_from_npz, save_dataframe_as_npz
+from ..utils.constants import DEFAULT_ITEM_COL, DEFAULT_ORDER_COL, DEFAULT_USER_COL
+from .data_split import (
+    filter_user_item,
+    filter_user_item_order,
+    generate_parameterized_path,
+    load_split_data,
+    split_data,
+)
+
+default_root_dir = os.path.abspath(".")
+
+
+class DatasetBase:
+    """Base class for dataset adapters."""
+
+    def __init__(
+        self,
+        dataset_name,
+        min_u_c=0,
+        min_i_c=3,
+        min_o_c=0,
+        url=None,
+        root_dir=None,
+        manual_download_url=None,
+        processed_leave_one_out_url="",
+        processed_leave_one_basket_url="",
+        processed_random_split_url="",
+        processed_random_basket_split_url="",
+        processed_temporal_split_url="",
+        processed_temporal_basket_split_url="",
+        tips=None,
+    ):
+        self.dataset_name = dataset_name
+        self.min_u_c = min_u_c
+        self.min_i_c = min_i_c
+        self.min_o_c = min_o_c
+        self.url = url
+        self.manual_download_url = manual_download_url or url
+        self.processed_leave_one_out_url = processed_leave_one_out_url
+        self.processed_leave_one_basket_url = processed_leave_one_basket_url
+        self.processed_random_split_url = processed_random_split_url
+        self.processed_random_basket_split_url = processed_random_basket_split_url
+        self.processed_temporal_split_url = processed_temporal_split_url
+        self.processed_temporal_basket_split_url = processed_temporal_basket_split_url
+
+        root_dir = root_dir or default_root_dir
+        self.dataset_dir = os.path.join(root_dir, "datasets", dataset_name)
+        self.raw_path = os.path.join(self.dataset_dir, "raw")
+        self.processed_path = os.path.join(self.dataset_dir, "processed")
+        ensure_dir(self.raw_path)
+        ensure_dir(self.processed_path)
+        self.save_dataframe_as_npz = save_dataframe_as_npz
+        self.tips = tips or (
+            f"please download the dataset yourself via {self.manual_download_url}, "
+            f"rename to {self.dataset_name} and put it into {self.raw_path} after decompression"
+        )
+
+    # -- raw data -----------------------------------------------------------------
+
+    def download(self):
+        """Download + unpack the raw archive (best effort; may need manual copy)."""
+        if not self.url:
+            raise RuntimeError(self.tips)
+        from ..utils.download import download_file, unpack_archive
+
+        archive = os.path.join(self.raw_path, os.path.basename(self.url))
+        if not os.path.exists(archive):
+            try:
+                download_file(self.url, archive)
+            except Exception as e:
+                raise RuntimeError(f"Download failed ({e}). {self.tips}") from e
+        try:
+            unpack_archive(archive, self.raw_path)
+        except ValueError:
+            pass  # plain file, no unpacking needed
+
+    def preprocess(self):
+        """Convert raw files into the canonical interaction npz (per adapter)."""
+        raise NotImplementedError
+
+    def interaction_file(self):
+        return os.path.join(self.processed_path, f"{self.dataset_name}_interaction.npz")
+
+    def load_interaction(self):
+        """Load (preprocessing on miss) the interaction frame, k-core filtered."""
+        f = self.interaction_file()
+        if not os.path.exists(f):
+            self.preprocess()
+        data = get_dataframe_from_npz(f)
+        if DEFAULT_ORDER_COL in data.columns and self.min_o_c > 0:
+            data = filter_user_item_order(data, self.min_u_c, self.min_i_c, self.min_o_c)
+        elif self.min_u_c > 0 or self.min_i_c > 0:
+            data = filter_user_item(data, self.min_u_c, self.min_i_c)
+        return data
+
+    # -- split lifecycle ----------------------------------------------------------
+
+    def _make_split(self, split_type, data=None, test_rate=0.1, random=False, n_negative=100, by_user=False, n_test=10):
+        if data is None:
+            data = self.load_interaction()
+        split_data(
+            data,
+            split_type=split_type,
+            test_rate=test_rate,
+            random=random,
+            n_negative=n_negative,
+            save_dir=self.processed_path,
+            by_user=by_user,
+            n_test=n_test,
+        )
+
+    def _load_split(self, split_type, test_rate=0.1, random=False, n_negative=100, by_user=False, n_test=10, download=False):
+        param_dir = generate_parameterized_path(
+            test_rate=test_rate, random=random, n_negative=n_negative, by_user=by_user
+        )
+        path = os.path.join(self.processed_path, split_type, param_dir)
+        if not os.path.exists(os.path.join(path, "train.npz")):
+            self._make_split(
+                split_type,
+                test_rate=test_rate,
+                random=random,
+                n_negative=n_negative,
+                by_user=by_user,
+                n_test=n_test,
+            )
+        return load_split_data(path, n_test=n_test)
+
+    def make_leave_one_out(self, data=None, random=False, n_negative=100, n_test=10):
+        self._make_split("leave_one_out", data, 0, random, n_negative, False, n_test)
+
+    def make_leave_one_basket(self, data=None, random=False, n_negative=100, n_test=10):
+        self._make_split("leave_one_basket", data, 0, random, n_negative, False, n_test)
+
+    def make_random_split(self, data=None, test_rate=0.1, by_user=False, n_negative=100, n_test=10):
+        self._make_split("random", data, test_rate, False, n_negative, by_user, n_test)
+
+    def make_random_basket_split(self, data=None, test_rate=0.1, by_user=False, n_negative=100, n_test=10):
+        self._make_split("random_basket", data, test_rate, False, n_negative, by_user, n_test)
+
+    def make_temporal_split(self, data=None, test_rate=0.1, by_user=False, n_negative=100, n_test=10):
+        self._make_split("temporal", data, test_rate, False, n_negative, by_user, n_test)
+
+    def make_temporal_basket_split(self, data=None, test_rate=0.1, by_user=False, n_negative=100, n_test=10):
+        self._make_split("temporal_basket", data, test_rate, False, n_negative, by_user, n_test)
+
+    def load_leave_one_out(self, random=False, n_negative=100, n_test=10, download=False):
+        return self._load_split("leave_one_out", 0, random, n_negative, False, n_test, download)
+
+    def load_leave_one_basket(self, random=False, n_negative=100, n_test=10, download=False):
+        return self._load_split("leave_one_basket", 0, random, n_negative, False, n_test, download)
+
+    def load_random_split(self, test_rate=0.1, by_user=False, n_negative=100, n_test=10, download=False):
+        return self._load_split("random", test_rate, False, n_negative, by_user, n_test, download)
+
+    def load_random_basket_split(self, test_rate=0.1, by_user=False, n_negative=100, n_test=10, download=False):
+        return self._load_split("random_basket", test_rate, False, n_negative, by_user, n_test, download)
+
+    def load_temporal_split(self, test_rate=0.1, by_user=False, n_negative=100, n_test=10, download=False):
+        return self._load_split("temporal", test_rate, False, n_negative, by_user, n_test, download)
+
+    def load_temporal_basket_split(self, test_rate=0.1, by_user=False, n_negative=100, n_test=10, download=False):
+        return self._load_split("temporal_basket", test_rate, False, n_negative, by_user, n_test, download)
+
+    def load_split(self, config):
+        """Config-driven split dispatch (reference dataset_base.py:909-980)."""
+        ds = config["dataset"] if "dataset" in config and isinstance(config["dataset"], dict) else config
+        split = ds.get("data_split", "leave_one_out")
+        kwargs = dict(
+            n_negative=ds.get("n_negative", 100),
+            n_test=ds.get("n_test", 10),
+        )
+        if split in ("leave_one_out", "leave_one_basket"):
+            kwargs["random"] = ds.get("random", False)
+        else:
+            kwargs["test_rate"] = ds.get("test_rate", 0.1)
+            kwargs["by_user"] = ds.get("by_user", False)
+        loader = getattr(self, f"load_{split}" if split.startswith("leave") else f"load_{split}_split")
+        return loader(**kwargs)
