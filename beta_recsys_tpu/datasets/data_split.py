@@ -87,7 +87,7 @@ def filter_user_item_order(df, min_u_c=5, min_i_c=5, min_o_c=5):
     return df
 
 
-def feed_neg_sample(data, negative_num, item_sampler):
+def feed_neg_sample(data, negative_num, item_sampler, use_native=True):
     """Append sampled negative items (rating 0) to an evaluation split.
 
     For each user: keep their positive items (unique), then sample
@@ -96,7 +96,14 @@ def feed_neg_sample(data, negative_num, item_sampler):
     truncated — reference semantics beta_rec/datasets/data_split.py:180-243).
     With ``negative_num < 0`` all non-interacted items become negatives.
     The returned frame is shuffled.
+
+    When the native host library is available and ratings are implicit, the
+    per-user draw loop runs in C++ (beta_recsys_tpu/native/betarec_host.cc).
     """
+    if use_native and negative_num > 0 and data[DEFAULT_RATING_COL].nunique() == 1:
+        fast = _feed_neg_sample_native(data, negative_num, item_sampler)
+        if fast is not None:
+            return fast
     unique_item_arr = data[DEFAULT_ITEM_COL].unique()
     unique_rating_num = data[DEFAULT_RATING_COL].nunique()
     user_groups = data.groupby(DEFAULT_USER_COL)
@@ -132,6 +139,43 @@ def feed_neg_sample(data, negative_num, item_sampler):
             DEFAULT_USER_COL: np.concatenate(users_out),
             DEFAULT_ITEM_COL: np.concatenate(items_out),
             DEFAULT_RATING_COL: np.concatenate(ratings_out),
+        }
+    )
+    return shuffle(total)
+
+
+def _feed_neg_sample_native(data, negative_num, item_sampler):
+    """C++ fast path for implicit-feedback splits; None if unavailable."""
+    from .. import native
+
+    if not native.available():
+        return None
+    labels = np.asarray(item_sampler.index2Label, dtype=np.int64)
+    # Unique positives per user (reference drops duplicate positives via set()).
+    dedup = data[[DEFAULT_USER_COL, DEFAULT_ITEM_COL]].drop_duplicates()
+    users = dedup[DEFAULT_USER_COL].to_numpy()
+    items = dedup[DEFAULT_ITEM_COL].to_numpy(dtype=np.int64)
+    uniq_users, inv = np.unique(users, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    sorted_items = items[order]
+    counts = np.bincount(inv, minlength=len(uniq_users))
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    try:
+        negs = native.feed_neg_batch(
+            indptr, sorted_items, item_sampler.prob_arr, item_sampler.alias_arr,
+            labels, negative_num, seed=np.random.randint(2**31),
+        )
+    except RuntimeError:
+        return None  # fall back to the truncating Python path
+    total = pd.DataFrame(
+        {
+            DEFAULT_USER_COL: np.concatenate(
+                [users, np.repeat(uniq_users, negative_num)]
+            ),
+            DEFAULT_ITEM_COL: np.concatenate([items, negs.reshape(-1)]),
+            DEFAULT_RATING_COL: np.concatenate(
+                [np.ones(len(users)), np.zeros(negs.size)]
+            ),
         }
     )
     return shuffle(total)
