@@ -1,10 +1,13 @@
-"""Benchmark: MF BPR training throughput (examples/sec/chip) on ml-100k-shaped data.
+"""Benchmark: training throughput (examples/sec/chip) for the baseline models.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line (MF headline, for the driver):
+    {"metric", "value", "unit", "vs_baseline"}
+and writes per-model details to BENCH_DETAILS.json.
 
-Baseline: the reference trains MF on ml-100k at ~13.0 s/epoch on an unrecorded
-GPU (examples/MF_API_test.ipynb, BASELINE.md) — with ~99k BPR pairs per epoch
-that is ~7.6k examples/s. vs_baseline = our examples/s / 7600.
+Baselines (BASELINE.md, reference notebook logs on an unrecorded GPU):
+- MF ml-100k: ~13.0 s/epoch over ~99k BPR pairs  -> ~7.6k examples/s
+- SASRec ml-100k shape: reference dunnhumby ~21 s/epoch at batch 128,
+  n_users/batch steps; ml-100k ~943 users -> 7 steps of 128x200 positions.
 """
 
 import json
@@ -12,29 +15,24 @@ import time
 
 import numpy as np
 
-REFERENCE_EXAMPLES_PER_SEC = 99_000 / 13.0  # ≈7.6k; reference MF ml-100k epoch
+REFERENCE_MF_EXAMPLES_PER_SEC = 99_000 / 13.0
 
 
-def main():
-    import jax
-
-    from beta_recsys_tpu.core.train_engine import make_epoch_fn, make_negative_sampler, make_optimizer
-    from beta_recsys_tpu.data.base_data import BaseData
-    from beta_recsys_tpu.datasets.data_split import generate_random_data, leave_one_out
-    from beta_recsys_tpu.models.mf import MF
-    from beta_recsys_tpu.utils.constants import DEFAULT_FLAG_COL
+def _synthetic_ml100k():
     import pandas as pd
 
-    # ml-100k shape: 943 users x 1682 items x 100k interactions.
-    rng = np.random.default_rng(0)
-    n_users, n_items, n_inter = 943, 1682, 100_000
+    from beta_recsys_tpu.data.base_data import BaseData
+    from beta_recsys_tpu.datasets.data_split import leave_one_out
     from beta_recsys_tpu.utils.constants import (
+        DEFAULT_FLAG_COL,
         DEFAULT_ITEM_COL,
         DEFAULT_RATING_COL,
         DEFAULT_TIMESTAMP_COL,
         DEFAULT_USER_COL,
     )
 
+    rng = np.random.default_rng(0)
+    n_users, n_items, n_inter = 943, 1682, 100_000
     df = pd.DataFrame(
         {
             DEFAULT_USER_COL: rng.integers(0, n_users, n_inter),
@@ -45,53 +43,138 @@ def main():
     )
     flagged = leave_one_out(df)
     train = flagged[flagged[DEFAULT_FLAG_COL] == "train"].copy()
-    data = BaseData((train, [], []), intersect=False)
+    return BaseData((train, [], []), intersect=False)
 
-    model_cfg = {
-        "model": "MF",
-        "emb_dim": 64,
-        "batch_size": 400,  # reference configs/mf_default.json batch_size
-        "loss": "bpr",
-        "optimizer": "adam",
-        "lr": 0.05,
-        "reg": 0.0,
-    }
-    model = MF(model_cfg, data.n_users, data.n_items)
+
+def _time_epochs(epoch_fn, params, opt_state, rng_key, n_epochs=5):
+    import jax
+
+    p, o, k, loss = epoch_fn(params, opt_state, rng_key)  # compile
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for _ in range(n_epochs):
+        p, o, k, loss = epoch_fn(p, o, k)
+    jax.block_until_ready(loss)
+    return (time.time() - t0) / n_epochs
+
+
+def bench_pairwise(data, model_cfg, model_cls, n_epochs=5):
+    import jax
+
+    from beta_recsys_tpu.core.train_engine import (
+        make_epoch_fn,
+        make_negative_sampler,
+        make_optimizer,
+    )
+
+    model = model_cls(model_cfg, data.n_users, data.n_items, artifacts=_artifacts(model_cfg, data))
     params = model.init_params(jax.random.key(0))
     optimizer = make_optimizer(model_cfg)
     opt_state = optimizer.init(params)
     neg_sampler = make_negative_sampler(data, "bitmask")
     epoch_fn = make_epoch_fn(
         model, optimizer, data.train_arrays(), model_cfg["batch_size"],
-        neg_sampler=neg_sampler, donate=False,
+        neg_sampler=neg_sampler, num_neg=int(model_cfg.get("num_negative", 4)),
+        donate=False,
     )
+    dt = _time_epochs(epoch_fn, params, opt_state, jax.random.key(42), n_epochs)
+    n = len(data.train)
+    mult = 1 if model.batch_kind == "pairwise" else (1 + model_cfg.get("num_negative", 4))
+    return n * mult / dt, dt
 
-    rng_key = jax.random.key(42)
-    n_train = len(train)
 
-    # Warmup (compile)
-    p, o, rng_key, loss = epoch_fn(params, opt_state, rng_key)
-    jax.block_until_ready(loss)
+def _artifacts(model_cfg, data):
+    if model_cfg["model"] in ("LightGCN", "lightgcn"):
+        return {"adj": data.get_norm_adj("sym")}
+    return None
 
-    n_epochs = 5
-    t0 = time.time()
-    for _ in range(n_epochs):
-        p, o, rng_key, loss = epoch_fn(p, o, rng_key)
-    jax.block_until_ready(loss)
-    dt = time.time() - t0
 
-    examples_per_sec = n_train * n_epochs / dt
+def bench_sasrec(data, n_epochs=3):
+    import jax
+
+    from beta_recsys_tpu.core.train_engine import (
+        make_negative_sampler,
+        make_optimizer,
+        make_sequence_epoch_fn,
+    )
+    from beta_recsys_tpu.models.sasrec import SASRec
+
+    maxlen = 200
+    cfg = {
+        "model": "SASRec", "emb_dim": 64, "maxlen": maxlen, "num_blocks": 2,
+        "num_heads": 2, "dropout_rate": 0.1, "l2_emb": 0.0, "batch_size": 128,
+        "optimizer": "adam", "lr": 0.001,
+    }
+    model = SASRec(cfg, data.n_users, data.n_items)
+    params = model.init_params(jax.random.key(0))
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    neg_sampler = make_negative_sampler(data, "bitmask")
+    seq_arrays = data.train_seq_arrays(maxlen)
+    epoch_fn = make_sequence_epoch_fn(
+        model, optimizer, seq_arrays, cfg["batch_size"], neg_sampler, donate=False
+    )
+    dt = _time_epochs(epoch_fn, params, opt_state, jax.random.key(1), n_epochs)
+    n_steps = max(len(seq_arrays["users"]) // cfg["batch_size"], 1)
+    seqs_per_sec = n_steps * cfg["batch_size"] / dt
+    return seqs_per_sec, dt
+
+
+def main(full=False):
+    details = {}
+    data = _synthetic_ml100k()
+
+    from beta_recsys_tpu.models.mf import MF
+
+    mf_cfg = {"model": "MF", "emb_dim": 64, "batch_size": 400, "loss": "bpr",
+              "optimizer": "adam", "lr": 0.05, "reg": 0.0}
+    mf_eps, mf_dt = bench_pairwise(data, mf_cfg, MF)
+    details["mf_ml100k"] = {"examples_per_sec": mf_eps, "epoch_sec": mf_dt,
+                           "vs_reference": mf_eps / REFERENCE_MF_EXAMPLES_PER_SEC}
+
+    if full:
+        # Each extra model costs a fresh whole-epoch compile (~1-3 min on the
+        # remote-compile path), so the full sweep is opt-in.
+        from beta_recsys_tpu.models.lightgcn import LightGCN
+        from beta_recsys_tpu.models.ncf import NeuMF
+
+        ncf_cfg = {"model": "NCF", "emb_dim": 8, "mlp_config": {"n_layers": 3},
+                   "num_negative": 4, "batch_size": 400, "optimizer": "adam", "lr": 0.001}
+        ncf_eps, ncf_dt = bench_pairwise(data, ncf_cfg, NeuMF, n_epochs=3)
+        details["ncf_ml100k"] = {"examples_per_sec": ncf_eps, "epoch_sec": ncf_dt}
+
+        gcn_cfg = {"model": "LightGCN", "emb_dim": 64, "layer_size": [64, 64, 64],
+                   "regs": [1e-5], "keep_pro": 1.0, "batch_size": 4096,
+                   "optimizer": "adam", "lr": 0.05}
+        gcn_eps, gcn_dt = bench_pairwise(data, gcn_cfg, LightGCN, n_epochs=3)
+        details["lightgcn_ml100k"] = {"examples_per_sec": gcn_eps, "epoch_sec": gcn_dt}
+
+        from beta_recsys_tpu.data.sequential_data import SequentialData
+
+        seq_data = SequentialData((data.train, [], []), intersect=False)
+        sas_sps, sas_dt = bench_sasrec(seq_data)
+        details["sasrec_ml100k_maxlen200"] = {
+            "sequences_per_sec": sas_sps,
+            "epoch_sec": sas_dt,
+            "reference_epoch_sec_dunnhumby": 21.0,
+        }
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+
     print(
         json.dumps(
             {
                 "metric": "mf_ml100k_train_examples_per_sec_per_chip",
-                "value": round(examples_per_sec, 1),
+                "value": round(mf_eps, 1),
                 "unit": "examples/s",
-                "vs_baseline": round(examples_per_sec / REFERENCE_EXAMPLES_PER_SEC, 2),
+                "vs_baseline": round(mf_eps / REFERENCE_MF_EXAMPLES_PER_SEC, 2),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(full="--full" in sys.argv)

@@ -376,6 +376,23 @@ class TrainEngine:
         seed = int(sys_cfg.get("seed", 2020))
         set_seed(seed)
         self.rng = jax.random.key(seed)
+        # Observability: TensorBoard scalars (optional) + jax.profiler traces.
+        self.writer = None
+        if sys_cfg.get("tensorboard", False):
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(
+                    os.path.join(self.dirs["run_dir"], self.model_run_id)
+                )
+                self.writer.add_text("config", str(self.config.to_dict()), 0)
+            except ImportError:
+                pass
+        self.profile_dir = (
+            os.path.join(self.dirs["run_dir"], self.model_run_id, "profile")
+            if sys_cfg.get("profile", False)
+            else None
+        )
 
     # -- build --------------------------------------------------------------------
 
@@ -493,6 +510,10 @@ class TrainEngine:
                 "model_save_dir": self.checkpoint_dir,
                 "run_time": self.run_time,
             }
+        if self.profile_dir:
+            # Capture a device trace of the first post-compile epochs
+            # (reference's @timeit + Monitor become jax.profiler traces here).
+            jax.profiler.start_trace(self.profile_dir)
         for epoch in range(max_epoch):
             t0 = time.time()
             self.params, self.opt_state, self.rng, loss = self.epoch_fn(
@@ -513,6 +534,15 @@ class TrainEngine:
             )
             if improved:
                 self.save_checkpoint()
+            if self.writer is not None:
+                self.writer.add_scalar("model/loss", loss, epoch)
+                for key, value in valid_result.items():
+                    self.writer.add_scalar(f"performance/valid_{key}", value, epoch)
+                for key, value in test_result.items():
+                    self.writer.add_scalar(f"performance/test_{key}", value, epoch)
+            if self.profile_dir and epoch == 1:
+                jax.profiler.stop_trace()
+                self.profile_dir = None
             if verbose:
                 key = self.bookkeeper.key
                 print(
@@ -525,6 +555,9 @@ class TrainEngine:
                 if verbose:
                     print(f"Early stop at epoch {epoch} (best epoch {self.bookkeeper.best_epoch})")
                 break
+        if self.profile_dir:
+            jax.profiler.stop_trace()
+            self.profile_dir = None
         self.run_time = time.time() - start
         return {
             "valid_metric": self.bookkeeper.best_valid_performance,

@@ -41,17 +41,58 @@ def expand_grid(tunable):
     return [dict(combo) for combo in itertools.product(*axes)]
 
 
-def tune(recommender_cls, config, data, tune_dir=None):
-    """Run the full grid; returns the best-trial dict and writes tune_result.csv."""
+def _run_trial(spec):
+    """Process-pool entry: rebuild the recommender in a fresh interpreter.
+
+    A fresh process gives each trial its own device runtime — the moral
+    equivalent of one Ray worker / one TPU slice per trial.
+    """
+    cls_module, cls_name, cfg_raw, data = spec
+    import importlib
+
+    from ..config import Config
+
+    cls = getattr(importlib.import_module(cls_module), cls_name)
+    rec = cls(Config(cfg_raw))
+    result = rec.train(data)
+    return {
+        "valid_metric": result["valid_metric"],
+        "model_save_dir": result["model_save_dir"],
+    }
+
+
+def tune(recommender_cls, config, data, tune_dir=None, processes=0):
+    """Run the full grid; returns the best-trial dict and writes tune_result.csv.
+
+    ``processes > 0`` launches trials in separate processes (fresh device
+    runtime per trial); the default runs them sequentially in-process.
+    """
     grid = expand_grid(config.tunable)
     if not grid:
         raise ValueError("Config has no tunable section to tune over")
+    trial_cfgs = [config.replace(model={**ov, "tune": False}) for ov in grid]
     rows = []
     best = None
-    for i, overrides in enumerate(grid):
-        trial_cfg = config.replace(model={**overrides, "tune": False})
-        rec = recommender_cls(trial_cfg)
-        result = rec.train(data)
+    if processes > 0:
+        import concurrent.futures
+        import multiprocessing as mp
+
+        specs = [
+            (recommender_cls.__module__, recommender_cls.__name__, cfg.to_dict(), data)
+            for cfg in trial_cfgs
+        ]
+        ctx = mp.get_context("spawn")
+        with concurrent.futures.ProcessPoolExecutor(processes, mp_context=ctx) as pool:
+            results = list(pool.map(_run_trial, specs))
+    else:
+        results = []
+        for cfg in trial_cfgs:
+            rec = recommender_cls(cfg)
+            r = rec.train(data)
+            results.append(
+                {"valid_metric": r["valid_metric"], "model_save_dir": r["model_save_dir"]}
+            )
+    for i, (overrides, result) in enumerate(zip(grid, results)):
         row = {**overrides, "valid_metric": result["valid_metric"],
                "model_save_dir": result["model_save_dir"], "trial": i}
         rows.append(row)
