@@ -86,22 +86,39 @@ def _padded_order(perm, padded_size):
     return jnp.concatenate([perm] * reps)[:padded_size]
 
 
-def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, num_neg=1, donate=True):
+def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, num_neg=1, donate=True, mesh=None):
     """Build a jitted whole-epoch trainer: (params, opt_state, rng) -> updated + mean loss.
 
     The scan body assembles the batch the model's ``batch_kind`` expects:
     pairwise (BPR triplets with on-device negatives), pointwise (positives +
     ``num_neg`` sampled negatives with 0 labels, reference
     data/base_data.py:182-216), or a custom batch builder the caller wires in.
+
+    With ``mesh`` the per-step batch is constrained to shard over the "data"
+    axis, so XLA partitions the whole epoch data-parallel (grad all-reduce
+    inserted automatically); batch_size must divide by the data-axis size.
     """
     users = jnp.asarray(train_arrays.users)
     items = jnp.asarray(train_arrays.items)
     ratings = jnp.asarray(train_arrays.ratings)
     n = users.shape[0]
     batch_size = min(batch_size, n)
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        batch_size = max(batch_size // n_data, 1) * n_data
     num_batches = -(-n // batch_size)
     padded_size = num_batches * batch_size
     kind = model.batch_kind
+
+    def _shard_batch(batch):
+        if mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P("data"))
+        return {
+            k: jax.lax.with_sharding_constraint(v, sharding) for k, v in batch.items()
+        }
 
     def epoch_fn(params, opt_state, rng):
         rng, perm_key = jax.random.split(rng)
@@ -133,6 +150,7 @@ def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, 
                     f"make_epoch_fn handles pairwise/pointwise/multineg; got {kind} — "
                     "use the model family's dedicated epoch builder"
                 )
+            batch = _shard_batch(batch)
             loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -405,6 +423,24 @@ class TrainEngine:
         self.optimizer = make_optimizer(model_cfg)
         self.rng, init_key = jax.random.split(self.rng)
         self.params = model.init_params(init_key)
+        # Optional device mesh: system.mesh = {"data": N, "model": M} or "auto"
+        # (all devices on the data axis). Params are placed per the standard
+        # rule (row-sharded embedding tables over "model").
+        self.mesh = None
+        mesh_cfg = sys_cfg.get("mesh")
+        if mesh_cfg:
+            from ..parallel.mesh import make_mesh
+            from ..parallel.sharding import default_param_rule, shard_params
+
+            if mesh_cfg == "auto":
+                self.mesh = make_mesh()
+            else:
+                self.mesh = make_mesh(
+                    n_data=int(mesh_cfg.get("data", 1)),
+                    n_model=int(mesh_cfg.get("model", 1)),
+                )
+            rule = default_param_rule(data.n_users, data.n_items)
+            self.params = shard_params(self.params, self.mesh, rule)
         self.opt_state = self.optimizer.init(self.params)
         neg_sampler = make_negative_sampler(data, model_cfg.get("neg_sampler", "auto"))
         kind = getattr(model, "batch_kind", "pairwise")
@@ -466,6 +502,7 @@ class TrainEngine:
                 int(model_cfg.get("batch_size", 256)),
                 neg_sampler=neg_sampler,
                 num_neg=int(getattr(model, "num_neg", model_cfg.get("num_negative", 4))),
+                mesh=self.mesh,
             )
         metrics = tuple(sys_cfg.get("metrics", ["ndcg", "precision", "recall", "map"]))
         ks = tuple(sys_cfg.get("k", [5, 10, 20]))
