@@ -9,3 +9,13 @@ sweeps, and data-parallel + row-sharded-embedding scaling across device meshes.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("BETA_RECSYS_FORCE_CPU"):
+    # Escape hatch for CI/subprocess smoke tests in environments whose
+    # sitecustomize pre-registers a TPU backend (env vars are too late there;
+    # only the config API works).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")

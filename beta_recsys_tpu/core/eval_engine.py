@@ -126,12 +126,14 @@ class EvalBookkeeper:
         return self.n_no_update >= self.max_n_update
 
 
-def test_eval(evaluators, params, result_file=None, result_para=None, run_time=None):
+def test_eval(evaluators, params, result_file=None, result_para=None, run_time=None, save_mode="average", per_user_file=None):
     """Final test evaluation over n_test candidate copies -> averaged metrics.
 
     Mirrors reference EvalEngine.test_eval (core/eval_engine.py:585-604): each
-    copy is evaluated, the mean row (+ config columns + run_time) is appended to
-    the results CSV.
+    copy is evaluated, the mean row (+ config columns + run_time) is appended
+    to the results CSV. With ``save_mode == "per_user"`` the per-user candidate
+    predictions of the first copy are dumped to CSV as well
+    (reference eval_engine.py:173-182).
     """
     rows = [ev.evaluate(params) for ev in evaluators]
     mean_row = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]} if rows else {}
@@ -143,4 +145,17 @@ def test_eval(evaluators, params, result_file=None, result_para=None, run_time=N
         for k, v in (result_para or {}).items():
             record[k] = str(v)
         save_to_csv(pd.DataFrame([record]), result_file)
+    if save_mode == "per_user" and evaluators and per_user_file:
+        ev = evaluators[0]
+        scores = np.asarray(ev.model.score_candidates(params, ev.users, ev.items))
+        mask = np.asarray(ev.mask)
+        users_mat = np.broadcast_to(np.asarray(ev.users)[:, None], mask.shape)
+        pd.DataFrame(
+            {
+                "col_user": users_mat[mask],
+                "col_item": np.asarray(ev.items)[mask],
+                "col_rating": np.asarray(ev.relevance)[mask],
+                "col_prediction": scores[mask],
+            }
+        ).to_csv(per_user_file, index=False)
     return mean_row, rows

@@ -394,6 +394,13 @@ class TrainEngine:
         seed = int(sys_cfg.get("seed", 2020))
         set_seed(seed)
         self.rng = jax.random.key(seed)
+        # stdout/stderr tee into per-run log files (reference logger hijack,
+        # utils/logger.py:60-110) — opt-in via system.log_to_file.
+        self.run_logger = None
+        if sys_cfg.get("log_to_file", False):
+            from ..utils.logger import Logger
+
+            self.run_logger = Logger(self.dirs["log_dir"], self.model_run_id)
         # Observability: TensorBoard scalars (optional) + jax.profiler traces.
         self.writer = None
         if sys_cfg.get("tensorboard", False):
@@ -645,5 +652,9 @@ class TrainEngine:
             result_file=self.result_file,
             result_para=result_para or {},
             run_time=getattr(self, "run_time", None),
+            save_mode=sys_cfg.get("save_mode", "average"),
+            per_user_file=os.path.join(
+                self.dirs["result_dir"], f"{self.model_run_id}_per_user.csv"
+            ),
         )
         return mean_row

@@ -28,9 +28,12 @@ from .simple_adapters import (
     Yelp,
     YooChoose,
 )
+from .synthetic import Synthetic
 from .tafeng import Tafeng
 
 DATASET_REGISTRY = {
+    "synthetic": Synthetic,
+    "random": Synthetic,
     "ml_100k": Movielens_100k,
     "ml_1m": Movielens_1m,
     "ml_10m": Movielens_10m,

@@ -28,12 +28,20 @@ NEG_INF = -1e30
 
 
 def _topk_relevance(scores, relevance, mask, k):
-    """Return (U, k) relevance of each user's top-k candidates, by score desc."""
+    """Return (U, k) relevance of each user's top-k candidates, by score desc.
+
+    When k exceeds the candidate count C the result is zero-padded to k
+    (reference: pandas nlargest just returns all C rows; precision can be < 1).
+    """
+    kk = min(k, scores.shape[1])
     masked = jnp.where(mask, scores, NEG_INF)
-    _, idx = jax.lax.top_k(masked, k)  # ties → lowest index, like rank('first')
+    _, idx = jax.lax.top_k(masked, kk)  # ties → lowest index, like rank('first')
     top_rel = jnp.take_along_axis(relevance, idx, axis=1)
     top_valid = jnp.take_along_axis(mask, idx, axis=1)
-    return top_rel * top_valid
+    out = top_rel * top_valid
+    if kk < k:
+        out = jnp.pad(out, ((0, 0), (0, k - kk)))
+    return out
 
 
 def _actual_counts(relevance, mask):

@@ -1,0 +1,42 @@
+"""Smoke-test the example CLIs end to end on the synthetic dataset."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, tmp, timeout=500):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    # force the virtual-CPU test backend inside the subprocess
+    env["BETA_RECSYS_FORCE_CPU"] = "1"
+    return subprocess.run(
+        [sys.executable, *args], cwd=str(tmp), env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    # examples resolve configs/ relative to cwd; link the repo configs in
+    os.symlink(os.path.join(REPO, "configs"), tmp_path / "configs")
+    os.symlink(os.path.join(REPO, "examples"), tmp_path / "examples")
+    return tmp_path
+
+
+def test_train_mf_cli(workdir):
+    cfg = json.load(open(os.path.join(REPO, "configs", "mf_default.json")))
+    cfg["system"]["root_dir"] = "./"
+    cfg["dataset"].update({"dataset": "synthetic", "n_test": 1, "n_negative": 10})
+    cfg["model"].update({"max_epoch": 3, "max_n_update": 3, "emb_dim": 8, "batch_size": 256})
+    with open(workdir / "smoke_mf.json", "w") as f:
+        json.dump(cfg, f)
+    r = _run(["examples/train_mf.py", "--config_file", "smoke_mf.json"], workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "test result:" in r.stdout
+    assert os.path.exists(workdir / "results" / "mf_result.csv")
