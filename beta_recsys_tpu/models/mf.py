@@ -84,3 +84,30 @@ class MF(RecModel):
     @property
     def batch_kind(self):
         return "pairwise" if self.loss_type == "bpr" else "pointwise"
+
+    # -- sparse-optimizer protocol (core/sparse_optim.py) -----------------------
+
+    def row_tables(self):
+        """Sparse tables -> which batch ids index them. Biases are folded into
+        the row tensors as an extra column so they get lazy updates too."""
+        return {"user_emb": "users", "item_emb": "items_cat", "user_bias": "users", "item_bias": "items_cat"}
+
+    def row_loss(self, rows, dense_params, batch, rng):
+        """BPR loss computed from gathered rows only (no table-sized tensors)."""
+        B = batch["users"].shape[0]
+        u_emb = rows["user_emb"]  # (B, d)
+        i_emb = rows["item_emb"]  # (2B, d): pos then neg
+        u_bias = rows["user_bias"]
+        i_bias = rows["item_bias"]
+        g = dense_params["global_bias"]
+        pos_scores = jax.nn.sigmoid(
+            jnp.sum(u_emb * i_emb[:B], axis=-1) + u_bias + i_bias[:B] + g
+        )
+        neg_scores = jax.nn.sigmoid(
+            jnp.sum(u_emb * i_emb[B:], axis=-1) + u_bias + i_bias[B:] + g
+        )
+        loss = bpr_loss(pos_scores, neg_scores)
+        if self.reg:
+            reg = l2_reg(u_emb, i_emb, u_bias, i_bias, batch_size=B)
+            loss = loss + self.reg * reg
+        return loss
