@@ -451,7 +451,29 @@ class TrainEngine:
         self.opt_state = self.optimizer.init(self.params)
         neg_sampler = make_negative_sampler(data, model_cfg.get("neg_sampler", "auto"))
         kind = getattr(model, "batch_kind", "pairwise")
-        if kind == "none":
+        self._sparse_optim = bool(model_cfg.get("sparse_optim", False)) and hasattr(
+            model, "row_tables"
+        )
+        if self._sparse_optim:
+            # Lazy-Adam row updates (core/sparse_optim): table-height-independent
+            # step cost for production-scale embedding tables.
+            from .sparse_optim import init_sparse_state, make_sparse_epoch_fn
+
+            lr = float(model_cfg.get("lr", 1e-3))
+            self.epoch_fn = make_sparse_epoch_fn(
+                model,
+                data.train_arrays(),
+                int(model_cfg.get("batch_size", 256)),
+                neg_sampler,
+                lr=lr,
+            )
+            table_names = list(model.row_tables())
+            sparse_state = init_sparse_state(self.params, table_names)
+            dense_params = {
+                k: v for k, v in self.params.items() if k not in table_names
+            }
+            self.opt_state = (sparse_state, self.optimizer.init(dense_params))
+        elif kind == "none":
             self.epoch_fn = None  # neighborhood models: nothing to train
         elif kind == "prefix":
             self.epoch_fn = make_prefix_epoch_fn(
