@@ -22,7 +22,6 @@ from ..utils.alias_table import AliasTable
 from ..utils.constants import (
     DEFAULT_ITEM_COL,
     DEFAULT_RATING_COL,
-    DEFAULT_TIMESTAMP_COL,
     DEFAULT_USER_COL,
 )
 

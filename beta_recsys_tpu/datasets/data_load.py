@@ -10,7 +10,7 @@ import os
 
 import numpy as np
 
-from .amazon import AMAZON_CATEGORIES, AmazonDataset
+from .amazon import AMAZON_CATEGORIES, AmazonDataset  # noqa: F401 (re-export)
 from .dunnhumby import Dunnhumby
 from .hetrec import Delicious_2k, LastFM_2k, MovieLens_2k
 from .instacart import Instacart, Instacart_25

@@ -11,10 +11,8 @@ OneDrive processed-split downloads are preserved as URLs but optional).
 
 import os
 
-import pandas as pd
-
 from ..utils.common import ensure_dir, get_dataframe_from_npz, save_dataframe_as_npz
-from ..utils.constants import DEFAULT_ITEM_COL, DEFAULT_ORDER_COL, DEFAULT_USER_COL
+from ..utils.constants import DEFAULT_ORDER_COL
 from .data_split import (
     filter_user_item,
     filter_user_item_order,

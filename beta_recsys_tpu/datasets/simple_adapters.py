@@ -13,7 +13,6 @@ import pandas as pd
 
 from ..utils.constants import (
     DEFAULT_ITEM_COL,
-    DEFAULT_ORDER_COL,
     DEFAULT_RATING_COL,
     DEFAULT_TIMESTAMP_COL,
     DEFAULT_USER_COL,

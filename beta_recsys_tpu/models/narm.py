@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 
 from .base import RecModel
-from .mlp import _dense_init
 
 
 def _gru_init(rng, in_dim, hidden):

@@ -139,3 +139,9 @@ class SASRec(RecModel):
         assert self.ctx is not None
         final = self._final_feats(params, self.ctx[users])
         return final @ params["item_emb"][1:].T
+
+    def score_pairs(self, params, users, items):
+        """Per-pair scores against each user's context (Recommender.predict)."""
+        assert self.ctx is not None
+        final = self._final_feats(params, self.ctx[users])
+        return jnp.sum(final * params["item_emb"][items + 1], axis=-1)

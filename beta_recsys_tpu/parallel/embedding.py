@@ -75,6 +75,36 @@ def psum_gather(table, ids, mesh):
     return lookup(table, ids)
 
 
+def psum_gather_sharded_batch(table, ids, mesh):
+    """Sharded-table lookup with the id batch sharded over "data".
+
+    table: (N_padded, d) sharded P("model", None); ids: (B,) sharded P("data").
+    Each (data, model) device looks up its batch shard's hits in its table
+    shard; one psum over "model" completes the rows. Communication per device:
+    O(B/n_data * d) — n_data times less than the replicated-ids path, the
+    right choice once batches are data-parallel.
+    """
+    from .mesh import DATA_AXIS
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS, None),
+    )
+    def lookup(local_table, local_ids):
+        shard_idx = jax.lax.axis_index(MODEL_AXIS)
+        rows_per_shard = local_table.shape[0]
+        lo = shard_idx * rows_per_shard
+        local = local_ids - lo
+        in_range = (local >= 0) & (local < rows_per_shard)
+        safe = jnp.clip(local, 0, rows_per_shard - 1)
+        emb = jnp.where(in_range[:, None], local_table[safe], 0.0)
+        return jax.lax.psum(emb, MODEL_AXIS)
+
+    return lookup(table, ids)
+
+
 class ShardedEmbedding:
     """A row-sharded embedding table with collective lookup.
 
