@@ -167,7 +167,17 @@ def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, 
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
-def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler, donate=True):
+
+def _mesh_shard_batch(batch, mesh):
+    """Constrain every batch array's leading dim to shard over "data"."""
+    if mesh is None:
+        return batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+    return {k: jax.lax.with_sharding_constraint(v, sharding) for k, v in batch.items()}
+
+def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler, donate=True, mesh=None):
     """Whole-epoch jitted trainer for sequence models (SASRec family).
 
     ``seq_arrays`` from SequentialData.train_seq_arrays: users (n,), seq/pos
@@ -196,7 +206,7 @@ def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler
             # into the 1-indexed item space; pad positions masked in the loss.
             neg0 = neg_sampler(k_neg, u[:, None], (batch_size, maxlen))
             neg = jnp.where(p != 0, neg0 + 1, 0)
-            batch = {"users": u, "seq": s, "pos": p, "neg": neg}
+            batch = _mesh_shard_batch({"users": u, "seq": s, "pos": p, "neg": neg}, mesh)
             loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -210,7 +220,7 @@ def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
-def make_prefix_epoch_fn(model, optimizer, arrays, batch_size, donate=True):
+def make_prefix_epoch_fn(model, optimizer, arrays, batch_size, donate=True, mesh=None):
     """Whole-epoch trainer over (prefix, target) session examples (NARM family)."""
     seq = jnp.asarray(arrays["seq"])
     target = jnp.asarray(arrays["target"])
@@ -227,7 +237,7 @@ def make_prefix_epoch_fn(model, optimizer, arrays, batch_size, donate=True):
         def step(carry, batch_order):
             params, opt_state, rng = carry
             rng, k_loss = jax.random.split(rng)
-            batch = {"seq": seq[batch_order], "target": target[batch_order]}
+            batch = _mesh_shard_batch({"seq": seq[batch_order], "target": target[batch_order]}, mesh)
             loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -239,7 +249,7 @@ def make_prefix_epoch_fn(model, optimizer, arrays, batch_size, donate=True):
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
-def make_sequence_time_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler, donate=True):
+def make_sequence_time_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler, donate=True, mesh=None):
     """Sequence trainer with per-user time-interval matrices (TiSASRec)."""
     users = jnp.asarray(seq_arrays["users"])
     seq = jnp.asarray(seq_arrays["seq"])
@@ -266,6 +276,7 @@ def make_sequence_time_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sa
                 "neg": neg,
                 "time_matrix": time_matrix[rows],
             }
+            batch = _mesh_shard_batch(batch, mesh)
             loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -279,7 +290,7 @@ def make_sequence_time_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sa
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
-def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True):
+def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True, mesh=None):
     """Whole-epoch trainer over dense user rows (VAE family).
 
     ``user_rows``: (n_users, n_items) float matrix (binarized interactions);
@@ -300,7 +311,7 @@ def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True):
         def step(carry, batch_order):
             params, opt_state, rng = carry
             rng, k_loss = jax.random.split(rng)
-            batch = {"rows": rows_mat[batch_order], "users": batch_order}
+            batch = _mesh_shard_batch({"rows": rows_mat[batch_order], "users": batch_order}, mesh)
             loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -314,7 +325,7 @@ def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True):
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
-def make_triple_epoch_fn(model, optimizer, triples, batch_size, n_users, n_items, n_neg, donate=True):
+def make_triple_epoch_fn(model, optimizer, triples, batch_size, n_users, n_items, n_neg, donate=True, mesh=None):
     """Whole-epoch trainer over (user, item_i, item_j[, t]) basket triples.
 
     Negative users/items are drawn uniformly on device each step (the reference
@@ -347,6 +358,7 @@ def make_triple_epoch_fn(model, optimizer, triples, batch_size, n_users, n_items
             }
             if t_arr is not None:
                 batch["t"] = t_arr[batch_order]
+            batch = _mesh_shard_batch(batch, mesh)
             loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
