@@ -43,6 +43,11 @@ class SASRec(RecModel):
         self.num_heads = int(config.get("num_heads", 2))
         self.dropout_rate = float(config.get("dropout_rate", 0.1))
         self.l2_emb = float(config.get("l2_emb", 0.0))
+        # MXU guidance: attention/FFN matmuls in bfloat16 with fp32 params
+        # ("compute_dtype": "bfloat16"); losses/logits stay fp32.
+        self.compute_dtype = (
+            jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
+        )
         ctx = self.artifacts.get("ctx")
         self.ctx = jnp.asarray(ctx) if ctx is not None else None
 
@@ -77,8 +82,15 @@ class SASRec(RecModel):
 
     def log2feats(self, params, log_seqs, rng=None):
         """Encode (B, T) item id sequences -> (B, T, D) features."""
+        if self.compute_dtype != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(self.compute_dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                params,
+            )
         d = self.emb_dim
-        seqs = params["item_emb"][log_seqs] * jnp.sqrt(d).astype(jnp.float32)
+        seqs = params["item_emb"][log_seqs] * jnp.sqrt(d).astype(self.compute_dtype)
         T = log_seqs.shape[1]
         seqs = seqs + params["pos_emb"][None, self.maxlen - T :, :]
         if rng is not None and self.dropout_rate > 0:
