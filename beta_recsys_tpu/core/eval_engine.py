@@ -63,7 +63,6 @@ class FullCatalogEvaluator:
         self.users = np.asarray(users, dtype=np.int32)
         self.relevance_csr = relevance_csr
         self.train_csr = train_csr
-        max_k = max(self.ks)
 
         def _score_block(params, users_blk, rel_blk, train_blk):
             scores = model.score_all(params, users_blk)
@@ -72,11 +71,10 @@ class FullCatalogEvaluator:
             return device_metrics.ranking_metrics(scores, rel_blk, mask, self.metrics, self.ks)
 
         self._score_block = jax.jit(_score_block)
-        del max_k
 
     def evaluate(self, params):
-        """Average metric@k over user blocks (weighted by block size)."""
-        totals, total_users = {}, 0
+        """Average metric@k over all users, evaluated in fixed-size blocks."""
+        totals = {}
         B = self.user_block
         for start in range(0, len(self.users), B):
             blk = self.users[start : start + B]
@@ -87,12 +85,10 @@ class FullCatalogEvaluator:
             if pad:
                 rel[len(blk):] = 0.0  # padded users have no relevance → contribute 0
             out = self._score_block(params, jnp.asarray(blk_padded), jnp.asarray(rel), jnp.asarray(trn))
-            w = len(blk)
             for k, v in out.items():
-                # metric means are over B users incl. padded zeros; rescale to real users
+                # each block metric is a mean over B rows (padded rows are 0);
+                # v * B recovers the block's per-user sum
                 totals[k] = totals.get(k, 0.0) + float(v) * B
-            total_users += w
-        # padded users contributed 0 to sums; divide by the true user count
         return {k: v / max(len(self.users), 1) for k, v in totals.items()}
 
 

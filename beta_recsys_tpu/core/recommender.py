@@ -73,6 +73,11 @@ class Recommender:
         result["run_time"] = self.run_time
         return result
 
+    def test_model(self):
+        """The model used for final-test scoring; sequence recommenders
+        override this to extend each user's context with validation items."""
+        return self.model
+
     def test(self, test_df=None):
         """Final evaluation; defaults to all test candidate copies of the data."""
         assert self.engine is not None, "call train() first"
@@ -88,7 +93,9 @@ class Recommender:
             "dataset": self.config.dataset.get("dataset"),
             "data_split": self.config.dataset.get("data_split"),
         }
-        return self.engine.test(candidates, result_para=result_para)
+        return self.engine.test(
+            candidates, result_para=result_para, model=self.test_model()
+        )
 
     def predict(self, data_df):
         """Scores for explicit (user, item) pairs in a DataFrame."""

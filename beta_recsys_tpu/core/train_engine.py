@@ -110,16 +110,6 @@ def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, 
     padded_size = num_batches * batch_size
     kind = model.batch_kind
 
-    def _shard_batch(batch):
-        if mesh is None:
-            return batch
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        sharding = NamedSharding(mesh, P("data"))
-        return {
-            k: jax.lax.with_sharding_constraint(v, sharding) for k, v in batch.items()
-        }
-
     def epoch_fn(params, opt_state, rng):
         rng, perm_key = jax.random.split(rng)
         order = _padded_order(jax.random.permutation(perm_key, n), padded_size)
@@ -150,7 +140,7 @@ def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, 
                     f"make_epoch_fn handles pairwise/pointwise/multineg; got {kind} — "
                     "use the model family's dedicated epoch builder"
                 )
-            batch = _shard_batch(batch)
+            batch = _mesh_shard_batch(batch, mesh)
             loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -478,6 +468,7 @@ class TrainEngine:
                 int(model_cfg.get("batch_size", 256)),
                 neg_sampler,
                 lr=lr,
+                dense_optimizer=self.optimizer,
             )
             table_names = list(model.row_tables())
             sparse_state = init_sparse_state(self.params, table_names)
@@ -493,6 +484,7 @@ class TrainEngine:
                 self.optimizer,
                 data.prefix_target_arrays(int(model_cfg.get("maxlen", 19))),
                 int(model_cfg.get("batch_size", 128)),
+                mesh=self.mesh,
             )
         elif kind == "sequence_time":
             self.epoch_fn = make_sequence_time_epoch_fn(
@@ -504,6 +496,7 @@ class TrainEngine:
                 ),
                 int(model_cfg.get("batch_size", 128)),
                 neg_sampler=neg_sampler,
+                mesh=self.mesh,
             )
         elif kind == "sequence":
             self.epoch_fn = make_sequence_epoch_fn(
@@ -512,14 +505,18 @@ class TrainEngine:
                 data.train_seq_arrays(int(model_cfg.get("maxlen", 200))),
                 int(model_cfg.get("batch_size", 128)),
                 neg_sampler=neg_sampler,
+                mesh=self.mesh,
             )
         elif kind == "userrow":
-            import numpy as _np
+            rows = model.artifacts.get("user_rows") if hasattr(model, "artifacts") else None
+            if rows is None:
+                import numpy as _np
 
-            rows = _np.asarray(data.user_item_csr().todense(), dtype=_np.float32)
-            rows = (rows > 0).astype(_np.float32)
+                rows = _np.asarray(data.user_item_csr().todense(), dtype=_np.float32)
+                rows = (rows > 0).astype(_np.float32)
             self.epoch_fn = make_userrow_epoch_fn(
-                model, self.optimizer, rows, int(model_cfg.get("batch_size", 256))
+                model, self.optimizer, rows, int(model_cfg.get("batch_size", 256)),
+                mesh=self.mesh,
             )
         elif kind == "triple":
             triples = data.sample_triples(
@@ -534,6 +531,7 @@ class TrainEngine:
                 data.n_users,
                 data.n_items,
                 int(model_cfg.get("n_neg", 5)),
+                mesh=self.mesh,
             )
         else:
             self.epoch_fn = make_epoch_fn(
@@ -670,15 +668,22 @@ class TrainEngine:
 
     # -- final test ---------------------------------------------------------------
 
-    def test(self, test_candidates_list, result_para=None, use_best=True):
-        """Evaluate all n_test candidate copies with the best checkpoint."""
+    def test(self, test_candidates_list, result_para=None, use_best=True, model=None):
+        """Evaluate all n_test candidate copies with the best checkpoint.
+
+        ``model`` overrides the scoring model (sequence recommenders score the
+        final test against a train+valid context, reference
+        eval_engine.test_seq_predict:319-375).
+        """
         if use_best and os.path.exists(self.checkpoint_dir):
             self.resume_checkpoint()
         sys_cfg = self.config.system
         metrics = tuple(sys_cfg.get("metrics", ["ndcg", "precision", "recall", "map"]))
         ks = tuple(sys_cfg.get("k", [5, 10, 20]))
+        scoring_model = model or self.model
         evaluators = [
-            RankingEvaluator(self.model, cand, metrics, ks) for cand in test_candidates_list
+            RankingEvaluator(scoring_model, cand, metrics, ks)
+            for cand in test_candidates_list
         ]
         mean_row, rows = test_eval(
             evaluators,

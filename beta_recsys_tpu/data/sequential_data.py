@@ -133,15 +133,35 @@ class SequentialData(BaseData):
         return base
 
     def tisasrec_eval_context(self, maxlen, time_span, extra_df=None):
-        """(ctx, ctx_time_matrix) for TiSASRec scoring."""
-        ctx = self.eval_context(maxlen, extra_df=extra_df)
-        times = self._user_times()
+        """(ctx, ctx_time_matrix) for TiSASRec scoring.
+
+        Items and timestamps extend together when ``extra_df`` (validation
+        items for final test) is given, so position p of the context always
+        matches row/col p of the interval matrix. Appended items get
+        last-train-time + 1, 2, ... (eval frames carry no timestamps).
+        """
+        seqs = [list(s) for s in self.get_train_seq()]
+        times = [list(t) for t in self._user_times()]
+        if extra_df is not None:
+            from ..utils.constants import DEFAULT_RATING_COL
+
+            pos = extra_df[extra_df[DEFAULT_RATING_COL] > 0]
+            for u, it in zip(
+                pos[DEFAULT_USER_COL].to_numpy(), pos[DEFAULT_ITEM_COL].to_numpy()
+            ):
+                u = int(u)
+                seqs[u].append(int(it) + 1)
+                times[u].append((times[u][-1] + 1) if times[u] else 1)
+        ctx = np.zeros((self.n_users, maxlen), dtype=np.int32)
         mats = np.zeros((self.n_users, maxlen, maxlen), dtype=np.int32)
         for u in range(self.n_users):
-            ts = times[u][-maxlen:]
+            tail_items = seqs[u][-maxlen:]
+            tail_times = times[u][-maxlen:]
+            if tail_items:
+                ctx[u, maxlen - len(tail_items):] = tail_items
             padded = np.zeros(maxlen, dtype=np.int64)
-            if len(ts):
-                padded[maxlen - len(ts):] = ts
+            if tail_times:
+                padded[maxlen - len(tail_times):] = tail_times
             mats[u] = self._clipped_interval_matrix(padded, time_span)
         return ctx, mats
 

@@ -110,13 +110,18 @@ def feed_neg_batch(indptr, pos_items, prob, alias, labels, n_negative, seed=0):
         if rc != 0:
             raise RuntimeError("Insufficient distinct negative items for sampling")
         return out
-    # numpy fallback: draw with rejection per user
+    # numpy fallback: draw with rejection per user (bounded, like the C++ path)
     rng = np.random.default_rng(seed)
     for u in range(n_users):
         pos = set(pos_items[indptr[u] : indptr[u + 1]].tolist())
         got = []
         seen = set()
+        attempts = 0
+        max_attempts = 100 * (n_negative + 1) + 16 * len(prob)
         while len(got) < n_negative:
+            attempts += 1
+            if attempts > max_attempts:
+                raise RuntimeError("Insufficient distinct negative items for sampling")
             idx = rng.integers(0, len(prob), size=n_negative * 2)
             uu = rng.random(len(idx))
             draws = labels[np.where(uu < prob[idx], idx, alias[idx])]

@@ -140,6 +140,9 @@ def auc(y_true, y_pred, mask=None):
         mask = jnp.ones_like(y_pred, dtype=bool)
     pos = (y_true > 0) & mask
     neg = (y_true <= 0) & mask
+    # Masked-out entries sort to +inf (the tail), so valid entries keep the
+    # same ascending ranks they would have among valid entries alone.
+    y_pred = jnp.where(mask, y_pred, jnp.inf)
     # Rank-sum (Mann-Whitney U) formulation with average ranks for ties.
     order = jnp.argsort(y_pred)
     sorted_pred = y_pred[order]

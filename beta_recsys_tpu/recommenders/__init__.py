@@ -55,7 +55,11 @@ class NGCF(Recommender):
 
 
 class SASRec(Recommender):
-    """SASRec sequential recommender (reference recommenders/sasrec.py)."""
+    """SASRec sequential recommender (reference recommenders/sasrec.py).
+
+    Final-test scoring extends every user's context with their validation
+    items (reference eval_engine.test_seq_predict:319-375) via test_model().
+    """
 
     model_name = "SASRec"
     data_class = SequentialData
@@ -64,38 +68,10 @@ class SASRec(Recommender):
         maxlen = int(self.config.model.get("maxlen", 200))
         return {"ctx": data.eval_context(maxlen)}
 
-    def test(self, test_df=None):
-        """Final test scores use train+valid context (reference
-        eval_engine.test_seq_predict semantics)."""
-        assert self.engine is not None, "call train() first"
+    def test_model(self):
         maxlen = int(self.config.model.get("maxlen", 200))
         test_ctx = self.data.eval_context(maxlen, extra_df=self.data.valid[0])
-        test_model = self.model.with_context(test_ctx)
-        tests = self.data.test if test_df is None else (
-            [test_df] if not isinstance(test_df, list) else test_df
-        )
-        candidates = [self.data.eval_candidates(df) for df in tests]
-        from ..core.eval_engine import test_eval, RankingEvaluator
-
-        sys_cfg = self.config.system
-        metrics = tuple(sys_cfg.get("metrics", ["ndcg", "precision", "recall", "map"]))
-        ks = tuple(sys_cfg.get("k", [5, 10, 20]))
-        import os
-
-        if os.path.exists(self.engine.checkpoint_dir):
-            self.engine.resume_checkpoint()
-        evaluators = [RankingEvaluator(test_model, c, metrics, ks) for c in candidates]
-        mean_row, _ = test_eval(
-            evaluators,
-            self.engine.params,
-            result_file=self.engine.result_file,
-            result_para={
-                "model": "SASRec",
-                "dataset": self.config.dataset.get("dataset"),
-            },
-            run_time=getattr(self, "run_time", None),
-        )
-        return mean_row
+        return self.model.with_context(test_ctx)
 
 
 class SimGCL(Recommender):
@@ -191,6 +167,11 @@ class NARM(Recommender):
         maxlen = int(self.config.model.get("maxlen", 19))
         return {"ctx": data.eval_context(maxlen)}
 
+    def test_model(self):
+        maxlen = int(self.config.model.get("maxlen", 19))
+        test_ctx = self.data.eval_context(maxlen, extra_df=self.data.valid[0])
+        return self.model.with_context(test_ctx)
+
 
 class TiSASRec(Recommender):
     model_name = "TiSASRec"
@@ -201,6 +182,14 @@ class TiSASRec(Recommender):
         time_span = int(self.config.model.get("time_span", 256))
         ctx, ctx_time = data.tisasrec_eval_context(maxlen, time_span)
         return {"ctx": ctx, "ctx_time": ctx_time}
+
+    def test_model(self):
+        maxlen = int(self.config.model.get("maxlen", 50))
+        time_span = int(self.config.model.get("time_span", 256))
+        ctx, ctx_time = self.data.tisasrec_eval_context(
+            maxlen, time_span, extra_df=self.data.valid[0]
+        )
+        return self.model.with_context(ctx, ctx_time)
 
 
 class CMN(Recommender):
