@@ -176,6 +176,25 @@ def test_device_metrics_match_host(k):
         assert float(dev[f"{m}@{k}"]) == pytest.approx(v, abs=1e-4), m
 
 
+def test_device_auc_respects_mask():
+    from beta_recsys_tpu.ops import metrics as dm
+
+    # unmasked low-score negative would corrupt ranks if included
+    y_true = np.array([1.0, 0.0, 0.0], np.float32)
+    y_pred = np.array([0.9, 0.5, 0.1], np.float32)
+    mask = np.array([True, True, False])
+    assert float(dm.auc(y_true, y_pred, mask)) == pytest.approx(1.0)
+    # and the masked entry is excluded from the statistic entirely
+    y_true2 = np.array([1.0, 0.0, 1.0], np.float32)
+    y_pred2 = np.array([0.2, 0.5, 0.9], np.float32)
+    mask2 = np.array([True, True, False])
+    from sklearn.metrics import roc_auc_score
+
+    assert float(dm.auc(y_true2, y_pred2, mask2)) == pytest.approx(
+        roc_auc_score(y_true2[:2], y_pred2[:2])
+    )
+
+
 def test_device_rating_metrics():
     from beta_recsys_tpu.ops import metrics as dm
 

@@ -29,6 +29,20 @@ def workdir(tmp_path):
     return tmp_path
 
 
+def test_train_sasrec_cli(workdir):
+    cfg = json.load(open(os.path.join(REPO, "configs", "sasrec_default.json")))
+    cfg["system"]["root_dir"] = "./"
+    cfg["dataset"].update({"dataset": "synthetic", "n_test": 1, "n_negative": 10})
+    cfg["model"].update({"max_epoch": 2, "max_n_update": 2, "emb_dim": 16,
+                         "maxlen": 10, "num_blocks": 1, "num_heads": 1,
+                         "batch_size": 64})
+    with open(workdir / "smoke_sasrec.json", "w") as f:
+        json.dump(cfg, f)
+    r = _run(["examples/train_sasrec.py", "--config_file", "smoke_sasrec.json"], workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "test result:" in r.stdout
+
+
 def test_train_mf_cli(workdir):
     cfg = json.load(open(os.path.join(REPO, "configs", "mf_default.json")))
     cfg["system"]["root_dir"] = "./"
