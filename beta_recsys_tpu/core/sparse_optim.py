@@ -105,10 +105,11 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
     dense_optimizer = dense_optimizer or optax.adam(lr)
 
     def epoch_fn(params, opt_state, rng):
+        from .train_engine import _padded_order
+
         sparse_state, dense_state = opt_state
         rng, perm_key = jax.random.split(rng)
-        reps = -(-padded_size // n)
-        order = jnp.concatenate([jax.random.permutation(perm_key, n)] * reps)[:padded_size]
+        order = _padded_order(jax.random.permutation(perm_key, n), padded_size)
         order = order.reshape(num_batches, batch_size)
 
         def step(carry, batch_order):

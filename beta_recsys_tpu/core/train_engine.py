@@ -77,6 +77,11 @@ def make_negative_sampler(data, mode="auto"):
     raise ValueError(f"Unknown negative sampler mode {mode}")
 
 
+def _check_nonempty(n, what):
+    if n == 0:
+        raise ValueError(f"empty training set for {what} — check filters/splits")
+
+
 def _padded_order(perm, padded_size):
     """Extend a permutation to ``padded_size`` by wrapping (static shapes)."""
     n = perm.shape[0]
@@ -102,6 +107,7 @@ def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, 
     items = jnp.asarray(train_arrays.items)
     ratings = jnp.asarray(train_arrays.ratings)
     n = users.shape[0]
+    _check_nonempty(n, "interaction batches")
     batch_size = min(batch_size, n)
     if mesh is not None:
         n_data = mesh.shape["data"]
@@ -180,6 +186,7 @@ def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler
     seq = jnp.asarray(seq_arrays["seq"])
     pos = jnp.asarray(seq_arrays["pos"])
     n = users.shape[0]
+    _check_nonempty(n, "sequence batches (users need >= 2 interactions)")
     batch_size = min(batch_size, n)
     num_batches = max(n // batch_size, 1)
     maxlen = seq.shape[1]
@@ -215,6 +222,7 @@ def make_prefix_epoch_fn(model, optimizer, arrays, batch_size, donate=True, mesh
     seq = jnp.asarray(arrays["seq"])
     target = jnp.asarray(arrays["target"])
     n = seq.shape[0]
+    _check_nonempty(n, "prefix/target examples")
     batch_size = min(batch_size, n)
     num_batches = -(-n // batch_size)
     padded_size = num_batches * batch_size
@@ -246,6 +254,7 @@ def make_sequence_time_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sa
     pos = jnp.asarray(seq_arrays["pos"])
     time_matrix = jnp.asarray(seq_arrays["time_matrix"])
     n = users.shape[0]
+    _check_nonempty(n, "sequence batches (users need >= 2 interactions)")
     batch_size = min(batch_size, n)
     num_batches = max(n // batch_size, 1)
     maxlen = seq.shape[1]
@@ -289,6 +298,7 @@ def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True, 
     """
     rows_mat = jnp.asarray(user_rows)
     n = rows_mat.shape[0]
+    _check_nonempty(n, "user rows")
     batch_size = min(batch_size, n)
     num_batches = -(-n // batch_size)
     padded_size = num_batches * batch_size
@@ -326,6 +336,7 @@ def make_triple_epoch_fn(model, optimizer, triples, batch_size, n_users, n_items
     item2 = jnp.asarray(triples["item2"])
     t_arr = jnp.asarray(triples["t"]) if "t" in triples else None
     n = users.shape[0]
+    _check_nonempty(n, "basket triples")
     batch_size = min(batch_size, n)
     num_batches = -(-n // batch_size)
     padded_size = num_batches * batch_size
@@ -453,9 +464,18 @@ class TrainEngine:
         self.opt_state = self.optimizer.init(self.params)
         neg_sampler = make_negative_sampler(data, model_cfg.get("neg_sampler", "auto"))
         kind = getattr(model, "batch_kind", "pairwise")
-        self._sparse_optim = bool(model_cfg.get("sparse_optim", False)) and hasattr(
-            model, "row_tables"
+        # Sparse path builds pairwise BPR batches against model.row_loss; only
+        # engage when that is actually the configured objective.
+        self._sparse_optim = (
+            bool(model_cfg.get("sparse_optim", False))
+            and hasattr(model, "row_tables")
+            and kind == "pairwise"
         )
+        if model_cfg.get("sparse_optim", False) and not self._sparse_optim:
+            print(
+                "[warn] sparse_optim requested but the model/loss combination "
+                f"(batch_kind={kind}) has no row protocol; using the dense path"
+            )
         if self._sparse_optim:
             # Lazy-Adam row updates (core/sparse_optim): table-height-independent
             # step cost for production-scale embedding tables.
@@ -490,10 +510,7 @@ class TrainEngine:
             self.epoch_fn = make_sequence_time_epoch_fn(
                 model,
                 self.optimizer,
-                data.tisasrec_arrays(
-                    int(model_cfg.get("maxlen", 200)),
-                    int(model_cfg.get("time_span", 256)),
-                ),
+                data.tisasrec_arrays(model.maxlen, model.time_span),
                 int(model_cfg.get("batch_size", 128)),
                 neg_sampler=neg_sampler,
                 mesh=self.mesh,
@@ -502,7 +519,7 @@ class TrainEngine:
             self.epoch_fn = make_sequence_epoch_fn(
                 model,
                 self.optimizer,
-                data.train_seq_arrays(int(model_cfg.get("maxlen", 200))),
+                data.train_seq_arrays(getattr(model, "maxlen", int(model_cfg.get("maxlen", 200)))),
                 int(model_cfg.get("batch_size", 128)),
                 neg_sampler=neg_sampler,
                 mesh=self.mesh,

@@ -349,8 +349,5 @@ class BaseData:
         return P.astype(np.float32), Q.astype(np.float32)
 
 
-def _row_normalize(adj):
-    """D^-1 A row normalization for scipy sparse matrices."""
-    rowsum = np.asarray(adj.sum(axis=1)).flatten()
-    d_inv = np.where(rowsum > 0, 1.0 / np.maximum(rowsum, 1e-12), 0.0)
-    return sp.diags(d_inv.astype(np.float32)).dot(adj)
+# D^-1 A row normalization shared with the host utils.
+from ..utils.common import normalized_adj_single as _row_normalize  # noqa: E402

@@ -124,6 +124,8 @@ class DatasetBase:
         )
 
     def _load_split(self, split_type, test_rate=0.1, random=False, n_negative=100, by_user=False, n_test=10, download=False):
+        if n_negative < 0:
+            n_test = 1  # all-negatives mode writes a single valid/test copy
         param_dir = generate_parameterized_path(
             test_rate=test_rate, random=random, n_negative=n_negative, by_user=by_user
         )

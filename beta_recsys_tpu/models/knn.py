@@ -61,16 +61,22 @@ class UserKNN(_KNNBase):
 
 
 class ItemKNN(_KNNBase):
-    """Item-side analogue: scores via item-item overlap similarity."""
+    """Item-side analogue: scores via item-item overlap similarity.
+
+    sim(i, j) = |users_i ∩ users_j| / sqrt(|users_j|) and score(u, j) sums
+    sim(i, j) over the user's items — matching reference itemKNN.py:86-125
+    (which, notably, never applies neighbourhood_size in predict). The
+    constant item-item Gram matrix is precomputed once.
+    """
+
+    def __init__(self, config, n_users, n_items, artifacts=None):
+        super().__init__(config, n_users, n_items, artifacts)
+        item_counts = jnp.sum(self.R, axis=0)
+        self.sim = (self.R.T @ self.R) / jnp.sqrt(jnp.maximum(item_counts, 1.0))[None, :]
 
     def _user_scores(self, users):
-        R = self.R
-        seq_rows = R[users]  # (B, n_items)
-        item_counts = jnp.sum(R, axis=0)
-        # sim(i, j) = |users_i ∩ users_j| / sqrt(|users_j|), batched as
-        # (B, n_items) @ (n_items, n_items): keep top-k similar items per target.
-        overlap = seq_rows @ (R.T @ R)  # (B, n_items) aggregated similarity
-        scores = overlap / jnp.sqrt(jnp.maximum(item_counts, 1.0))[None, :]
+        seq_rows = self.R[users]  # (B, n_items)
+        scores = seq_rows @ self.sim
         return jnp.where(seq_rows > 0, NEG_INF, scores)
 
     def score_candidates(self, params, users, cand_items):

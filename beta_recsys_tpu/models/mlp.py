@@ -9,6 +9,7 @@ Dropout precedes each Linear during training.
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention import inverted_dropout
 from .base import RecModel
 from .losses import bce_loss
 
@@ -48,8 +49,7 @@ class MLP(RecModel):
         for layer in params["layers"]:
             if rng is not None and self.dropout > 0:
                 rng, sub = jax.random.split(rng)
-                keep = jax.random.bernoulli(sub, 1 - self.dropout, vector.shape)
-                vector = jnp.where(keep, vector / (1 - self.dropout), 0.0)
+                vector = inverted_dropout(sub, vector, self.dropout)
             vector = jax.nn.relu(vector @ layer["w"] + layer["b"])
         affine = params["affine"]
         logits = vector @ affine["w"] + affine["b"]

@@ -14,6 +14,7 @@ Training data: (prefix, target) expansions of user histories
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention import inverted_dropout
 from .base import RecModel
 
 
@@ -97,8 +98,7 @@ class NARM(RecModel):
         embs = params["item_emb"][seq]
         if rng is not None and self.dropout_input > 0:
             rng, sub = jax.random.split(rng)
-            keep = jax.random.bernoulli(sub, 1 - self.dropout_input, embs.shape)
-            embs = jnp.where(keep, embs / (1 - self.dropout_input), 0.0)
+            embs = inverted_dropout(sub, embs, self.dropout_input)
         h0 = jnp.zeros((seq.shape[0], self.hidden_size), jnp.float32)
         gru_out, ht = gru_scan(params["gru"], embs, mask, h0)
         q1 = gru_out @ params["a1"]  # (B, T, H)
@@ -109,8 +109,7 @@ class NARM(RecModel):
         c = jnp.concatenate([c_local, ht], axis=1)
         if rng is not None and self.dropout_hidden > 0:
             rng, sub = jax.random.split(rng)
-            keep = jax.random.bernoulli(sub, 1 - self.dropout_hidden, c.shape)
-            c = jnp.where(keep, c / (1 - self.dropout_hidden), 0.0)
+            c = inverted_dropout(sub, c, self.dropout_hidden)
         return c
 
     def _all_item_logits(self, params, c):

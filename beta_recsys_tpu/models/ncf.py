@@ -10,6 +10,7 @@ via ``artifacts={"gmf_params": ..., "mlp_params": ...}``.
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention import inverted_dropout
 from .base import RecModel
 from .losses import bce_loss
 from .mlp import _dense_init
@@ -62,8 +63,7 @@ class NeuMF(RecModel):
         for layer in params["layers"]:
             if rng is not None and self.dropout > 0:
                 rng, sub = jax.random.split(rng)
-                keep = jax.random.bernoulli(sub, 1 - self.dropout, mlp_vec.shape)
-                mlp_vec = jnp.where(keep, mlp_vec / (1 - self.dropout), 0.0)
+                mlp_vec = inverted_dropout(sub, mlp_vec, self.dropout)
             mlp_vec = jax.nn.relu(mlp_vec @ layer["w"] + layer["b"])
         fused = jnp.concatenate([mlp_vec, gmf_vec], axis=-1)
         logits = fused @ params["affine"]["w"] + params["affine"]["b"]

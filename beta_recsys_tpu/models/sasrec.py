@@ -27,6 +27,7 @@ from ..ops.attention import (
     init_ffn_params,
     init_ln_params,
     init_mha_params,
+    inverted_dropout,
     layer_norm,
     pointwise_ffn,
 )
@@ -95,8 +96,7 @@ class SASRec(RecModel):
         seqs = seqs + params["pos_emb"][None, self.maxlen - T :, :]
         if rng is not None and self.dropout_rate > 0:
             rng, sub = jax.random.split(rng)
-            keep = jax.random.bernoulli(sub, 1 - self.dropout_rate, seqs.shape)
-            seqs = jnp.where(keep, seqs / (1 - self.dropout_rate), 0.0)
+            seqs = inverted_dropout(sub, seqs, self.dropout_rate)
         timeline = (log_seqs != 0)[..., None].astype(seqs.dtype)
         seqs = seqs * timeline
         for blk in params["blocks"]:

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ..ops.attention import (
     init_ffn_params,
     init_ln_params,
+    inverted_dropout,
     layer_norm,
     pointwise_ffn,
 )
@@ -60,6 +61,9 @@ class TiSASRec(SASRec):
 
     def __init__(self, config, n_users, n_items, artifacts=None):
         super().__init__(config, n_users, n_items, artifacts)
+        # TiSASRec's conventional default is 50 (configs/tisasrec_default.json);
+        # keep model and wrapper/engine defaults identical.
+        self.maxlen = int(config.get("maxlen", 50))
         self.time_span = int(config.get("time_span", 256))
         tm = self.artifacts.get("ctx_time")
         self.ctx_time = jnp.asarray(tm) if tm is not None else None
@@ -108,8 +112,7 @@ class TiSASRec(SASRec):
         seqs = params["item_emb"][log_seqs] * jnp.sqrt(d).astype(jnp.float32)
         if rng is not None and self.dropout_rate > 0:
             rng, sub = jax.random.split(rng)
-            keep = jax.random.bernoulli(sub, 1 - self.dropout_rate, seqs.shape)
-            seqs = jnp.where(keep, seqs / (1 - self.dropout_rate), 0.0)
+            seqs = inverted_dropout(sub, seqs, self.dropout_rate)
         tm = jnp.clip(time_matrices, 0, self.time_span)
         time_k = params["time_k"][tm]  # (B,T,T,D)
         time_v = params["time_v"][tm]

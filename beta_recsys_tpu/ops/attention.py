@@ -20,11 +20,15 @@ def layer_norm(x, scale, bias, eps=1e-8):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _dropout(rng, x, rate):
+def inverted_dropout(rng, x, rate):
+    """Inverted dropout: identity when rng is None or rate <= 0."""
     if rng is None or rate <= 0:
         return x
     keep = jax.random.bernoulli(rng, 1 - rate, x.shape)
     return jnp.where(keep, x / (1 - rate), 0.0)
+
+
+_dropout = inverted_dropout  # internal alias
 
 
 def causal_mha(q, k, v, n_heads, wq, wk, wv, wo, dropout_rate=0.0, rng=None):

@@ -43,7 +43,15 @@ def sgl_augment(rng, rows, cols, n_nodes, aug_type=1, ssl_ratio=0.1):
         node_keep = jax.random.uniform(k1, (n_nodes,)) >= ssl_ratio
         keep = node_keep[rows] & node_keep[cols]
     else:
-        keep = jax.random.uniform(rng, rows.shape) >= ssl_ratio
+        # Undirected dropout: both directions of an interaction edge share the
+        # same draw (keyed on the canonical pair), keeping A symmetric like the
+        # reference's host-side edge subsampling.
+        lo = jnp.minimum(rows, cols).astype(jnp.uint32)
+        hi = jnp.maximum(rows, cols).astype(jnp.uint32)
+        pair_id = lo * jnp.uint32(n_nodes) + hi
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(pair_id)
+        u = jax.vmap(lambda k: jax.random.uniform(k))(keys)
+        keep = u >= ssl_ratio
     ones = jnp.where(keep, 1.0, 0.0)
     deg = jax.ops.segment_sum(ones, rows, num_segments=n_nodes)
     d_inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)

@@ -74,7 +74,7 @@ class AliasTable:
                 while len(uniq) < count:
                     extra = self._draw(max(count - len(uniq), 1))
                     uniq |= set(extra)
-                samples = list(uniq)
+                samples = list(uniq)[:count]  # exactly `count` unique labels
             if obj_num == 1:
                 return samples
             draws.append(samples)
