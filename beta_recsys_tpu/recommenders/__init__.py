@@ -74,6 +74,12 @@ class SASRec(Recommender):
         return self.model.with_context(test_ctx)
 
 
+class PairwiseGMFRecommender(Recommender):
+    """PairwiseGMF — typically used to pretrain CMN memories."""
+
+    model_name = "PairwiseGMF"
+
+
 class SimGCL(Recommender):
     model_name = "SimGCL"
 
@@ -253,4 +259,5 @@ __all__ = [
     "CMN",
     "VBCAR",
     "TVBR",
+    "PairwiseGMFRecommender",
 ]
