@@ -37,6 +37,17 @@ class Experiment:
             if per_model:
                 model.config = model.config.replace(system=per_model)
 
+    def load_pretrained_model(self, model_dir):
+        """Load each model from a saved checkpoint dir and score the test sets
+        (reference experiment.py:89-96)."""
+        rows = []
+        for data in self.datasets:
+            for model in self.models:
+                model.train(data)  # builds engine + artifacts
+                model.load(model_dir)
+                rows.append(model.test())
+        return rows
+
     def run(self):
         """Train + test the full matrix; returns a tidy results DataFrame."""
         rows = []
