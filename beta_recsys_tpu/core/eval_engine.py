@@ -92,6 +92,78 @@ class FullCatalogEvaluator:
         return {k: v / max(len(self.users), 1) for k, v in totals.items()}
 
 
+class TopKRetrievalEvaluator:
+    """Full-catalog ranked eval via streaming top-k (no dense score matrix).
+
+    For factorized models (user_item_embeddings) at large catalogs: per user
+    block, one streaming_topk call retrieves max_k items (train positives
+    excluded on device); metrics come from the relevance of those k items
+    plus the per-user relevant counts — identical math to FullCatalogEvaluator
+    at a fraction of the memory (SURVEY §7 full-catalog hard part).
+    """
+
+    def __init__(self, model, users, relevance_csr, train_csr, metrics=("ndcg", "precision", "recall", "map"), ks=(5, 10, 20), user_block=1024, item_block=8192):
+        from ..ops.topk import streaming_topk
+
+        self.model = model
+        self.metrics = tuple(metrics)
+        self.ks = tuple(int(k) for k in ks)
+        self.max_k = max(self.ks)
+        self.user_block = user_block
+        self.item_block = item_block
+        self.users = np.asarray(users, dtype=np.int32)
+        self.relevance_csr = relevance_csr
+        self.train_csr = train_csr
+        self._streaming_topk = streaming_topk
+
+    def evaluate(self, params):
+        import jax.numpy as jnp
+
+        u_emb_all, i_emb_all = self.model.user_item_embeddings(params)
+        totals = {f"{m}@{k}": 0.0 for m in self.metrics for k in self.ks}
+        B = self.user_block
+        for start in range(0, len(self.users), B):
+            blk = self.users[start : start + B]
+            trn = np.asarray(self.train_csr[blk].todense()) > 0
+            _, top_idx = self._streaming_topk(
+                u_emb_all[jnp.asarray(blk)], i_emb_all, self.max_k,
+                block=self.item_block, exclude_mask=jnp.asarray(trn),
+            )
+            top_idx = np.asarray(top_idx)
+            rel_rows = self.relevance_csr[blk]
+            top_rel = np.asarray(
+                rel_rows[np.repeat(np.arange(len(blk)), self.max_k), top_idx.reshape(-1)]
+            ).reshape(len(blk), self.max_k)
+            actual = np.asarray(rel_rows.sum(axis=1)).flatten()
+            ranks = np.arange(1, self.max_k + 1)
+            gains = 1.0 / np.log1p(ranks)
+            cum_hits = np.cumsum(top_rel, axis=1)
+            for k in self.ks:
+                hits_k = cum_hits[:, k - 1]
+                safe_actual = np.maximum(actual, 1)
+                totals[f"precision@{k}"] = totals.get(f"precision@{k}", 0.0)
+                if "precision" in self.metrics:
+                    totals[f"precision@{k}"] += float(np.sum(hits_k / k))
+                if "recall" in self.metrics:
+                    totals[f"recall@{k}"] += float(
+                        np.sum(np.where(actual > 0, hits_k / safe_actual, 0.0))
+                    )
+                if "ndcg" in self.metrics:
+                    dcg = np.sum(top_rel[:, :k] * gains[:k], axis=1)
+                    ideal_prefix = np.cumsum(gains[:k])
+                    idcg = ideal_prefix[np.clip(np.minimum(actual, k).astype(int) - 1, 0, k - 1)]
+                    totals[f"ndcg@{k}"] += float(
+                        np.sum(np.where(actual > 0, dcg / idcg, 0.0))
+                    )
+                if "map" in self.metrics:
+                    rr = np.sum(top_rel[:, :k] * cum_hits[:, :k] / ranks[:k], axis=1)
+                    totals[f"map@{k}"] += float(
+                        np.sum(np.where(actual > 0, rr / safe_actual, 0.0))
+                    )
+        n = max(len(self.users), 1)
+        return {key: v / n for key, v in totals.items() if key.split("@")[0] in self.metrics}
+
+
 class EvalBookkeeper:
     """Early-stop / best-metric tracking (synchronous, no threads or locks)."""
 

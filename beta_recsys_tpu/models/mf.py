@@ -32,6 +32,18 @@ class MF(RecModel):
             "global_bias": jnp.zeros((), jnp.float32),
         }
 
+    def user_item_embeddings(self, params):
+        """Bias-augmented factorized form for retrieval: appending [1, b_u] to
+        user vectors and [b_i, 1] to item vectors makes the dot product equal
+        u·i + b_u + b_i, which ranks identically to the sigmoid score."""
+        u = params["user_emb"]
+        i = params["item_emb"]
+        ones_u = jnp.ones((u.shape[0], 1), u.dtype)
+        ones_i = jnp.ones((i.shape[0], 1), i.dtype)
+        u_ext = jnp.concatenate([u, ones_u, params["user_bias"][:, None]], axis=1)
+        i_ext = jnp.concatenate([i, params["item_bias"][:, None], ones_i], axis=1)
+        return u_ext, i_ext
+
     def score_pairs(self, params, users, items):
         u_emb = params["user_emb"][users]
         i_emb = params["item_emb"][items]
