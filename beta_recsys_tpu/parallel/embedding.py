@@ -105,6 +105,66 @@ def psum_gather_sharded_batch(table, ids, mesh):
     return lookup(table, ids)
 
 
+def bucketed_psum_gather(table, ids, mesh, capacity_factor=2.0):
+    """Bucketed sharded-table lookup: ids sharded over "data", table over "model".
+
+    Each data shard buckets its local ids by owning model shard (fixed
+    capacity C = ceil(local_B / n_model) * capacity_factor; overflowing ids
+    return zero rows — raise the factor for skewed id distributions). Every
+    model shard gathers ONLY its own bucket's rows (C lookups instead of
+    local_B as in psum_gather_sharded_batch), scatters them to the requesting
+    positions, and one psum over "model" assembles the batch. With ids
+    replicated over the model axis (the data-parallel layout here), this is
+    the correct specialization of the DLRM all-to-all exchange: the request
+    leg is free (ids already everywhere) and only the response leg (the psum)
+    moves rows. A Pallas remote-DMA response leg is the planned upgrade.
+
+    Autodiff: the transpose psums cotangents and scatter-adds each shard's
+    bucket rows into its local table shard — table gradients stay sharded.
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+    rows_per_shard = table.shape[0] // n_model
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P("data")),
+        out_specs=P("data", None),
+    )
+    def lookup(local_table, local_ids):
+        local_b = local_ids.shape[0]
+        capacity = max(int(-(-local_b // n_model) * capacity_factor), 1)
+
+        owner = local_ids // rows_per_shard  # (local_b,)
+        one_hot = jax.nn.one_hot(owner, n_model, dtype=jnp.int32)
+        slot = jnp.cumsum(one_hot, axis=0)[jnp.arange(local_b), owner] - 1
+        in_cap = slot < capacity
+
+        # buckets[(owner, slot)] = position in the local batch; overflow gets
+        # an out-of-bounds slot so mode="drop" discards the write.
+        write_slot = jnp.where(in_cap, slot, capacity)
+        positions = jnp.full((n_model, capacity), local_b, jnp.int32)
+        positions = positions.at[owner, write_slot].set(
+            jnp.arange(local_b, dtype=jnp.int32), mode="drop"
+        )
+
+        shard_idx = jax.lax.axis_index(MODEL_AXIS)
+        my_positions = positions[shard_idx]  # (capacity,)
+        req_valid = my_positions < local_b
+        safe_pos = jnp.where(req_valid, my_positions, 0)
+        req_ids = local_ids[safe_pos]
+        local = req_ids - shard_idx * rows_per_shard
+        in_range = (local >= 0) & (local < rows_per_shard) & req_valid
+        gathered = local_table[jnp.clip(local, 0, rows_per_shard - 1)]
+        gathered = jnp.where(in_range[:, None], gathered, 0.0)  # (capacity, d)
+
+        out = jnp.zeros((local_b, table.shape[1]), local_table.dtype)
+        out = out.at[safe_pos].add(jnp.where(req_valid[:, None], gathered, 0.0))
+        return jax.lax.psum(out, MODEL_AXIS)
+
+    return lookup(table, ids)
+
+
 class ShardedEmbedding:
     """A row-sharded embedding table with collective lookup.
 
