@@ -44,6 +44,8 @@ class SASRec(RecModel):
         self.num_heads = int(config.get("num_heads", 2))
         self.dropout_rate = float(config.get("dropout_rate", 0.1))
         self.l2_emb = float(config.get("l2_emb", 0.0))
+        # "auto" = Pallas flash-attention kernel on TPU, einsum elsewhere.
+        self.fused_attention = config.get("fused_attention", "auto")
         # MXU guidance: attention/FFN matmuls in bfloat16 with fp32 params
         # ("compute_dtype": "bfloat16"); losses/logits stay fp32.
         self.compute_dtype = (
@@ -108,6 +110,7 @@ class SASRec(RecModel):
                 q, seqs, seqs, self.num_heads,
                 blk["attn"]["wq"], blk["attn"]["wk"], blk["attn"]["wv"], blk["attn"]["wo"],
                 dropout_rate=self.dropout_rate, rng=sub,
+                fused=self.fused_attention,
             )
             seqs = q + attn_out
             seqs = layer_norm(seqs, blk["ffn_ln"]["scale"], blk["ffn_ln"]["bias"])

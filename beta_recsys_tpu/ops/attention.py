@@ -31,14 +31,43 @@ def inverted_dropout(rng, x, rate):
 _dropout = inverted_dropout  # internal alias
 
 
-def causal_mha(q, k, v, n_heads, wq, wk, wv, wo, dropout_rate=0.0, rng=None):
+def causal_mha(q, k, v, n_heads, wq, wk, wv, wo, dropout_rate=0.0, rng=None, fused="auto"):
     """Causal multi-head attention: (B, T, D) -> (B, T, D).
 
     Weights are (D, D); heads split the model dim. The causal mask permits
     attention to self and earlier positions only.
+
+    `fused="auto"` routes the softmax(QK^T)V core through the Pallas
+    flash-attention kernel on TPU (ops/pallas/flash_attention.py) — the QKV/
+    output projections stay in XLA where the MXU already handles them — and
+    keeps the einsum path elsewhere. Pass True/False to force either path.
+    The Mosaic PRNG is stubbed off-TPU, so a dropout-active fused call falls
+    back to einsum in interpret mode.
     """
     B, T, D = q.shape
     dh = D // n_heads
+    if fused == "auto":
+        fused = jax.default_backend() == "tpu"
+    rate = dropout_rate if rng is not None else 0.0
+    if fused and rate > 0 and jax.default_backend() != "tpu":
+        fused = False
+    if fused:
+        from .pallas.flash_attention import flash_causal_attention
+
+        def split_heads(x, w):
+            h = (x @ w).reshape(B, T, n_heads, dh)
+            return h.transpose(0, 2, 1, 3).reshape(B * n_heads, T, dh)
+
+        qf = split_heads(q, wq)
+        kf = split_heads(k, wk)
+        vf = split_heads(v, wv)
+        if rate > 0:
+            seed = jax.random.randint(rng, (1,), 0, jnp.iinfo(jnp.int32).max)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+        out = flash_causal_attention(qf, kf, vf, seed, rate)
+        out = out.reshape(B, n_heads, T, dh).transpose(0, 2, 1, 3).reshape(B, T, D)
+        return out.astype(q.dtype) @ wo
 
     def split(x, w):
         return (x @ w).reshape(B, T, n_heads, dh)

@@ -165,6 +165,68 @@ def bucketed_psum_gather(table, ids, mesh, capacity_factor=2.0):
     return lookup(table, ids)
 
 
+def rdma_bucketed_gather(table, ids, mesh, capacity_factor=2.0, collective_id=1):
+    """Bucketed sharded-table lookup whose response leg is a Pallas ring
+    all-gather over ICI (ops/pallas/ring_exchange.py) instead of a psum.
+
+    Same contract as ``psum_gather``: table (N_padded, d) sharded
+    P("model", None), ids (B,) replicated, output (B, d) replicated. Each
+    model shard gathers only the rows it owns into a fixed-capacity bucket
+    (C = ceil(B / n_model) * capacity_factor, 8-aligned; overflow ids yield
+    zero rows), the buckets ride the ring — each byte crossing each ICI link
+    once, vs twice for the all-reduce — and every shard scatters the n_model
+    buckets back to batch positions locally. Gradients: the ring's VJP
+    reduce-scatters cotangent buckets, then local scatter-add into the table
+    shard (tables never leave their shard).
+    """
+    from ..ops.pallas.ring_exchange import ring_allgather
+
+    n_model = mesh.shape[MODEL_AXIS]
+    rows_per_shard = table.shape[0] // n_model
+    d = table.shape[1]
+    b = ids.shape[0]
+    capacity = max(int(-(-b // n_model) * capacity_factor), 1)
+    capacity = -(-capacity // 8) * 8  # sublane alignment for the ring blocks
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def lookup(local_table, ids_rep):
+        owner = ids_rep // rows_per_shard  # (b,)
+        one_hot = jax.nn.one_hot(owner, n_model, dtype=jnp.int32)
+        slot = jnp.cumsum(one_hot, axis=0)[jnp.arange(b), owner] - 1
+        in_cap = slot < capacity
+        write_slot = jnp.where(in_cap, slot, capacity)
+        # positions[(owner, slot)] = batch position; b marks "empty".
+        positions = jnp.full((n_model, capacity), b, jnp.int32)
+        positions = positions.at[owner, write_slot].set(
+            jnp.arange(b, dtype=jnp.int32), mode="drop"
+        )
+
+        shard_idx = jax.lax.axis_index(MODEL_AXIS)
+        my_pos = positions[shard_idx]
+        req_valid = my_pos < b
+        safe_pos = jnp.where(req_valid, my_pos, 0)
+        local = ids_rep[safe_pos] - shard_idx * rows_per_shard
+        ok = (local >= 0) & (local < rows_per_shard) & req_valid
+        rows = local_table[jnp.clip(local, 0, rows_per_shard - 1)]
+        rows = jnp.where(ok[:, None], rows, 0.0)  # (capacity, d)
+
+        all_rows = ring_allgather(rows, MODEL_AXIS, collective_id)
+        flat_pos = positions.reshape(-1)
+        flat_rows = all_rows.reshape(n_model * capacity, d)
+        # Empty slots carry flat_pos == b -> dropped by out-of-bounds mode.
+        return jnp.zeros((b, d), flat_rows.dtype).at[flat_pos].add(
+            flat_rows, mode="drop"
+        )
+
+    return lookup(table, ids)
+
+
 class ShardedEmbedding:
     """A row-sharded embedding table with collective lookup.
 
