@@ -11,7 +11,7 @@ a gradient). Prediction scores: u_on·i_tgt + u_tgt·i_on via get_embedding.
 import jax
 import jax.numpy as jnp
 
-from ..ops.graph import lightgcn_propagate
+from ..ops.graph import pack_propagator, propagate_mean
 from .base import RecModel
 
 
@@ -23,9 +23,9 @@ class BUIR(RecModel):
         self.momentum = float(config.get("momentum", 0.995))
         self.n_layers = int(config.get("n_layers", 3))
         rows, cols, vals = self.artifacts["adj"]
-        self.adj_rows = jnp.asarray(rows)
-        self.adj_cols = jnp.asarray(cols)
-        self.adj_vals = jnp.asarray(vals)
+        self.prop = pack_propagator(
+            rows, cols, vals, n_users + n_items, fmt=config.get("graph_format", "auto")
+        )
 
     def _init_encoder(self, rng):
         k_u, k_i = jax.random.split(rng)
@@ -48,9 +48,8 @@ class BUIR(RecModel):
         }
 
     def _encode(self, enc_params):
-        return lightgcn_propagate(
-            self.adj_rows, self.adj_cols, self.adj_vals,
-            enc_params["user_emb"], enc_params["item_emb"], self.n_layers,
+        return propagate_mean(
+            self.prop, enc_params["user_emb"], enc_params["item_emb"], self.n_layers
         )
 
     def post_update(self, params):

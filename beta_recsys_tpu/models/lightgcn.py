@@ -11,7 +11,7 @@ Artifacts: {"adj": (rows, cols, vals)} from BaseData.get_norm_adj("sym").
 import jax
 import jax.numpy as jnp
 
-from ..ops.graph import edge_dropout, lightgcn_propagate
+from ..ops.graph import edge_dropout, pack_propagator, propagate_mean
 from .base import RecModel
 from .losses import softplus_bpr_loss
 
@@ -26,9 +26,10 @@ class LightGCN(RecModel):
         self.decay = float(regs[0] if isinstance(regs, (list, tuple)) else regs)
         self.keep_prob = float(config.get("keep_pro", 1.0))
         rows, cols, vals = self.artifacts["adj"]
-        self.adj_rows = jnp.asarray(rows)
-        self.adj_cols = jnp.asarray(cols)
         self.adj_vals = jnp.asarray(vals)
+        self.prop = pack_propagator(
+            rows, cols, vals, n_users + n_items, fmt=config.get("graph_format", "auto")
+        )
 
     def init_params(self, rng):
         k_u, k_i = jax.random.split(rng)
@@ -40,12 +41,11 @@ class LightGCN(RecModel):
 
     def propagate(self, params, rng=None):
         """Graph propagation; edge dropout only when an rng is provided (training)."""
-        vals = self.adj_vals
+        vals = None
         if rng is not None and self.keep_prob < 1.0:
-            vals = edge_dropout(rng, vals, self.keep_prob)
-        return lightgcn_propagate(
-            self.adj_rows, self.adj_cols, vals,
-            params["user_emb"], params["item_emb"], self.n_layers,
+            vals = edge_dropout(rng, self.adj_vals, self.keep_prob)
+        return propagate_mean(
+            self.prop, params["user_emb"], params["item_emb"], self.n_layers, vals
         )
 
     def user_item_embeddings(self, params):

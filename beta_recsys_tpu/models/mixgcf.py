@@ -12,7 +12,7 @@ Edge + message dropout during training.
 import jax
 import jax.numpy as jnp
 
-from ..ops.graph import edge_dropout, spmm_coo
+from ..ops.graph import edge_dropout, pack_propagator
 from .base import RecModel
 
 
@@ -30,9 +30,10 @@ class MixGCF(RecModel):
         self.edge_dropout_rate = float(config.get("edge_dropout_rate", 0.0))
         self.mess_dropout_rate = float(config.get("mess_dropout_rate", 0.0))
         rows, cols, vals = self.artifacts["adj"]
-        self.adj_rows = jnp.asarray(rows)
-        self.adj_cols = jnp.asarray(cols)
         self.adj_vals = jnp.asarray(vals)
+        self.prop = pack_propagator(
+            rows, cols, vals, n_users + n_items, fmt=config.get("graph_format", "auto")
+        )
 
     @property
     def num_neg(self):
@@ -52,11 +53,11 @@ class MixGCF(RecModel):
         ego = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
         embs = [ego]
         for _ in range(self.n_hops):
-            vals = self.adj_vals
+            vals = None
             if rng is not None and self.edge_dropout_rate > 0:
                 rng, sub = jax.random.split(rng)
-                vals = edge_dropout(sub, vals, 1 - self.edge_dropout_rate)
-            ego = spmm_coo(self.adj_rows, self.adj_cols, vals, ego)
+                vals = edge_dropout(sub, self.adj_vals, 1 - self.edge_dropout_rate)
+            ego = self.prop.spmm(ego, vals)
             if rng is not None and self.mess_dropout_rate > 0:
                 rng, sub = jax.random.split(rng)
                 keep = jax.random.bernoulli(sub, 1 - self.mess_dropout_rate, ego.shape)

@@ -12,7 +12,7 @@ reference (recommenders/ngcf.py uses norm_adj from get_adj_mat).
 import jax
 import jax.numpy as jnp
 
-from ..ops.graph import spmm_coo
+from ..ops.graph import pack_propagator
 from .base import RecModel
 from .losses import bpr_loss
 
@@ -29,9 +29,9 @@ class NGCF(RecModel):
         regs = config.get("regs", [1e-5])
         self.decay = float(regs[0] if isinstance(regs, (list, tuple)) else regs)
         rows, cols, vals = self.artifacts["adj"]
-        self.adj_rows = jnp.asarray(rows)
-        self.adj_cols = jnp.asarray(cols)
-        self.adj_vals = jnp.asarray(vals)
+        self.prop = pack_propagator(
+            rows, cols, vals, n_users + n_items, fmt=config.get("graph_format", "auto")
+        )
 
     def init_params(self, rng):
         keys = jax.random.split(rng, 2 + 2 * self.n_layers)
@@ -63,7 +63,7 @@ class NGCF(RecModel):
         ego = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
         outs = [ego]
         for i in range(self.n_layers):
-            side = spmm_coo(self.adj_rows, self.adj_cols, self.adj_vals, ego)
+            side = self.prop.spmm(ego)
             gc = params["gc"][i]
             bi = params["bi"][i]
             sum_emb = jax.nn.leaky_relu(side @ gc["w"] + gc["b"], 0.01)

@@ -14,7 +14,7 @@ mode contrasts batch nodes without torch.unique dedup (fixed shapes).
 import jax
 import jax.numpy as jnp
 
-from ..ops.graph import sgl_augment, spmm_coo
+from ..ops.graph import pack_propagator, sgl_augment
 from .base import RecModel
 
 
@@ -35,6 +35,9 @@ class SGL(RecModel):
         self.adj_rows = jnp.asarray(rows)
         self.adj_cols = jnp.asarray(cols)
         self.adj_vals = jnp.asarray(vals)
+        self.prop = pack_propagator(
+            rows, cols, vals, n_users + n_items, fmt=config.get("graph_format", "auto")
+        )
 
     def init_params(self, rng):
         k_u, k_i = jax.random.split(rng)
@@ -50,13 +53,13 @@ class SGL(RecModel):
         ego = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
         acc = ego
         for vals in vals_per_layer:
-            ego = spmm_coo(self.adj_rows, self.adj_cols, vals, ego)
+            ego = self.prop.spmm(ego, vals)
             acc = acc + ego
         final = acc / (len(vals_per_layer) + 1)
         return final[: self.n_users], final[self.n_users :]
 
     def propagate(self, params):
-        return self._propagate(params, [self.adj_vals] * self.n_layers)
+        return self._propagate(params, [None] * self.n_layers)
 
     def _augmented_view(self, params, rng):
         n_nodes = self.n_users + self.n_items

@@ -12,7 +12,7 @@ popular nodes slightly higher; metric-neutral in practice).
 import jax
 import jax.numpy as jnp
 
-from ..ops.graph import spmm_coo
+from ..ops.graph import pack_propagator
 from .base import RecModel
 
 
@@ -27,9 +27,9 @@ class SimGCL(RecModel):
         self.cl_rate = float(config.get("lambda", 0.5))
         self.temp = float(config.get("temperature", 0.2))
         rows, cols, vals = self.artifacts["adj"]
-        self.adj_rows = jnp.asarray(rows)
-        self.adj_cols = jnp.asarray(cols)
-        self.adj_vals = jnp.asarray(vals)
+        self.prop = pack_propagator(
+            rows, cols, vals, n_users + n_items, fmt=config.get("graph_format", "auto")
+        )
 
     def init_params(self, rng):
         k_u, k_i = jax.random.split(rng)
@@ -44,7 +44,7 @@ class SimGCL(RecModel):
         ego = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
         acc = jnp.zeros_like(ego)
         for _ in range(self.n_layers):
-            ego = spmm_coo(self.adj_rows, self.adj_cols, self.adj_vals, ego)
+            ego = self.prop.spmm(ego)
             if rng is not None:
                 rng, sub = jax.random.split(rng)
                 noise = jax.random.uniform(sub, ego.shape)

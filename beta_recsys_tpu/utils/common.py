@@ -45,15 +45,29 @@ def save_dataframe_as_npz(data, data_file):
 
     Cache-format compatible with reference beta_rec/utils/common_util.py:98-122.
     """
+    def storable(arr, prefer_int=False):
+        # Raw ids may be strings (amazon asin, yelp business ids, tafeng order
+        # ids); store them as fixed-width unicode so np.load needs no pickle.
+        if arr.dtype == object:
+            if prefer_int:
+                try:
+                    return arr.astype(np.int64)
+                except (ValueError, TypeError, OverflowError):
+                    pass
+            return arr.astype(str)
+        return arr.astype(np.int64) if prefer_int else arr
+
     data_dic = {
-        "user_ids": data[DEFAULT_USER_COL].to_numpy(),
-        "item_ids": data[DEFAULT_ITEM_COL].to_numpy(),
+        "user_ids": storable(data[DEFAULT_USER_COL].to_numpy()),
+        "item_ids": storable(data[DEFAULT_ITEM_COL].to_numpy()),
         "ratings": data[DEFAULT_RATING_COL].to_numpy(dtype=np.float32),
     }
     if DEFAULT_ORDER_COL in data.columns:
-        data_dic["order_ids"] = data[DEFAULT_ORDER_COL].to_numpy(dtype=np.int64)
+        data_dic["order_ids"] = storable(data[DEFAULT_ORDER_COL].to_numpy(), prefer_int=True)
     if DEFAULT_TIMESTAMP_COL in data.columns:
-        data_dic["timestamps"] = data[DEFAULT_TIMESTAMP_COL].to_numpy(dtype=np.int64)
+        data_dic["timestamps"] = storable(
+            data[DEFAULT_TIMESTAMP_COL].to_numpy(), prefer_int=True
+        )
     else:
         data_dic["timestamps"] = np.zeros_like(data_dic["ratings"])
     ensure_dir(os.path.dirname(data_file))
