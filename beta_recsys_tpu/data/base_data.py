@@ -12,6 +12,7 @@ dok-matrix double loops, base_data.py:337-360) and returned as COO edge arrays
 ready for on-device segment-sum propagation.
 """
 
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -232,6 +233,91 @@ class BaseData:
         norm_adj = _row_normalize(adj + sp.eye(n, dtype=np.float32))
         mean_adj = _row_normalize(adj)
         return adj.tocsr(), norm_adj.tocsr(), mean_adj.tocsr()
+
+    def get_adj_mat(self, config=None, cache_dir=None):
+        """Disk-cached (adj, norm_adj, mean_adj) triple — reference name.
+
+        Mirrors the reference's get_adj_mat (beta_rec/data/base_data.py:291-360
+        and data/deprecated_data_base.py:287-356), which caches the NGCF
+        adjacency triple under the processed-data dir. Cache key follows the
+        reference's ``ngcf_<dataset>_<split>`` convention when a config is
+        given; without config/cache_dir the triple is built in memory.
+        """
+        path = None
+        if cache_dir is not None or config is not None:
+            if cache_dir is None:
+                cache_dir = (
+                    config.get("system", {}).get("process_dir")
+                    or config.get("dataset", {}).get("data_dir")
+                    or "."
+                )
+            ds = (config or {}).get("dataset", {})
+            tag = f"ngcf_{ds.get('dataset', 'data')}_{ds.get('data_split', 'split')}"
+            path = os.path.join(cache_dir, tag + "_adj.npz")
+        if path is not None and os.path.exists(path):
+            with np.load(path, allow_pickle=False) as z:
+                n = self.n_users + self.n_items
+
+                def _load(prefix):
+                    return sp.csr_matrix(
+                        (z[prefix + "_data"], z[prefix + "_indices"], z[prefix + "_indptr"]),
+                        shape=(n, n),
+                    )
+
+                return _load("adj"), _load("norm"), _load("mean")
+        adj, norm_adj, mean_adj = self.create_adj_mat()
+        if path is not None:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            np.savez(
+                path,
+                adj_data=adj.data, adj_indices=adj.indices, adj_indptr=adj.indptr,
+                norm_data=norm_adj.data, norm_indices=norm_adj.indices, norm_indptr=norm_adj.indptr,
+                mean_data=mean_adj.data, mean_indices=mean_adj.indices, mean_indptr=mean_adj.indptr,
+            )
+        return adj, norm_adj, mean_adj
+
+    def get_constraint_mat(self):
+        """Reference-name alias for :meth:`create_constraint_mat`.
+
+        (beta_rec/data/base_data.py:362-431.)
+        """
+        return self.create_constraint_mat()
+
+    def evaluate_data(self, eval_df=None, n_negative=99, rng=None):
+        """Pointwise eval DataFrame: each test positive + n sampled negatives.
+
+        Vectorized replacement for the deprecated DataLoaderBase.evaluate_data
+        property (beta_rec/data/deprecated_data_base.py:261-285): rating 1 for
+        held-out positives, 0 for per-user sampled negatives never seen in
+        train or in the eval positives.
+        """
+        rng = rng or np.random.default_rng(0)
+        if eval_df is None:
+            eval_df = self.test[0] if self.test else self.valid[0]
+        pos = eval_df[eval_df[DEFAULT_RATING_COL] >= 1]
+        users = pos[DEFAULT_USER_COL].to_numpy(np.int64)
+        items = pos[DEFAULT_ITEM_COL].to_numpy(np.int64)
+        # Exclusion set = train positives ∪ eval positives, per user.
+        excl = self.user_item_csr().tolil(copy=True)
+        excl[users, items] = 1.0
+        excl = excl.tocsr()
+        neg_users = np.repeat(users, n_negative)
+        neg_items = rng.integers(0, self.n_items, size=len(neg_users))
+        # Rejection resample collisions with the exclusion set (vectorized rounds).
+        for _ in range(64):
+            bad = np.asarray(excl[neg_users, neg_items]).flatten() > 0
+            if not bad.any():
+                break
+            neg_items[bad] = rng.integers(0, self.n_items, size=int(bad.sum()))
+        return pd.DataFrame(
+            {
+                DEFAULT_USER_COL: np.concatenate([users, neg_users]),
+                DEFAULT_ITEM_COL: np.concatenate([items, neg_items]),
+                DEFAULT_RATING_COL: np.concatenate(
+                    [np.ones(len(users), np.float32), np.zeros(len(neg_users), np.float32)]
+                ),
+            }
+        )
 
     def get_norm_adj(self, variant="sym"):
         """Normalized bipartite adjacency as COO arrays for device propagation.

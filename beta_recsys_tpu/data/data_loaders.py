@@ -86,6 +86,25 @@ def instance_bce_loader(data, num_negative, batch_size, rng=None):
     return _batched((all_users, all_items, all_labels), batch_size, True, rng)
 
 
+def instance_vae_loader(data, batch_size, rng=None, shuffle=True):
+    """Yield (user_ids, dense user×item rows) batches for VAECF.
+
+    Reference parity: instance_vae_loader (beta_rec/data/base_data.py:513-532)
+    builds a binarized user×item CSR and batches user rows. Here each batch is
+    densified on demand (float32) so the jitted VAE step sees fixed-shape
+    device arrays; the full matrix never materializes for large catalogs.
+    """
+    rng = rng or np.random.default_rng()
+    csr = data.user_item_csr()
+    csr.data[:] = 1.0
+    order = np.arange(data.n_users)
+    if shuffle:
+        rng.shuffle(order)
+    for start in range(0, len(order), batch_size):
+        idx = order[start : start + batch_size]
+        yield idx.astype(np.int32), np.asarray(csr[idx].todense(), dtype=np.float32)
+
+
 def instance_mul_neg_loader(data, num_negative, batch_size, rng=None):
     """Yield (users, pos_items, neg_items (B, num_negative)) batches."""
     rng = rng or np.random.default_rng()

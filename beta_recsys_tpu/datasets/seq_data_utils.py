@@ -68,6 +68,23 @@ def pad_sequences(seqs, maxlen, pad_left=True):
     return out
 
 
+def collate_fn(batch, pad_left=False):
+    """Pad a list of (seq, target) pairs and sort by descending length.
+
+    Reference parity: the DataLoader collate_fn in
+    beta_rec/datasets/seq_data_utils.py:131-179 (pad to the batch max length,
+    sort so packed-RNN consumers see descending lengths). Returns
+    (padded (B, L) int32, lengths (B,) int32, targets (B,) int32) numpy arrays.
+    """
+    seqs = [list(s) for s, _ in batch]
+    targets = np.asarray([t for _, t in batch], dtype=np.int32)
+    lengths = np.asarray([len(s) for s in seqs], dtype=np.int32)
+    order = np.argsort(-lengths, kind="stable")
+    maxlen = max(1, int(lengths.max()) if len(lengths) else 1)
+    padded = pad_sequences([seqs[i] for i in order], maxlen, pad_left=pad_left)
+    return padded, lengths[order], targets[order]
+
+
 class SeqDataset:
     """Array-backed (seq, target) dataset with fixed-shape batch iteration."""
 

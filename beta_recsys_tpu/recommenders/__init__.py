@@ -141,6 +141,11 @@ class ItemKNNRecommender(Recommender):
         return {"interactions": data.user_item_csr()}
 
 
+# Reference class names (beta_rec/recommenders/userKNN.py, itemKNN.py).
+UserKNN = UserKNNRecommender
+ItemKNN = ItemKNNRecommender
+
+
 class SGL(Recommender):
     model_name = "SGL"
 
@@ -251,6 +256,8 @@ __all__ = [
     "Triple2vec",
     "UserKNNRecommender",
     "ItemKNNRecommender",
+    "UserKNN",
+    "ItemKNN",
     "SGL",
     "MixGCF",
     "LCFN",

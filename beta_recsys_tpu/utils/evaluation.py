@@ -24,6 +24,59 @@ from .constants import (
 )
 
 
+class PandasHash:
+    """Hashable wrapper around a DataFrame so it can key an lru_cache.
+
+    Reference parity: beta_rec/utils/evaluation.py:24-171. Equality/hash are
+    content-based (values + columns), so repeated metric calls on the same
+    truth/prediction frames hit the cache.
+    """
+
+    def __init__(self, df):
+        self.df = df
+        self._hash = hash(
+            (tuple(pd.util.hash_pandas_object(df).to_numpy()), tuple(df.columns))
+        )
+
+    def __hash__(self):
+        return self._hash
+
+    def __eq__(self, other):
+        return isinstance(other, PandasHash) and self._hash == other._hash
+
+
+def lru_cache_df(maxsize=128):
+    """functools.lru_cache for functions whose leading args are DataFrames.
+
+    DataFrame positional/keyword args are wrapped in :class:`PandasHash` for
+    the cache key and unwrapped before the call (reference
+    beta_rec/utils/evaluation.py:172-211).
+    """
+    import functools
+
+    def decorator(fn):
+        @functools.lru_cache(maxsize=maxsize)
+        def cached(*args, **kwargs):
+            args = tuple(a.df if isinstance(a, PandasHash) else a for a in args)
+            kwargs = {k: (v.df if isinstance(v, PandasHash) else v) for k, v in kwargs.items()}
+            return fn(*args, **kwargs)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            args = tuple(PandasHash(a) if isinstance(a, pd.DataFrame) else a for a in args)
+            kwargs = {
+                k: (PandasHash(v) if isinstance(v, pd.DataFrame) else v)
+                for k, v in kwargs.items()
+            }
+            return cached(*args, **kwargs)
+
+        wrapper.cache_info = cached.cache_info
+        wrapper.cache_clear = cached.cache_clear
+        return wrapper
+
+    return decorator
+
+
 def _check_columns(rating_true, rating_pred, col_user, col_item, col_rating, col_prediction):
     """Validate that the expected columns exist with matching key dtypes."""
     for df, col in [
