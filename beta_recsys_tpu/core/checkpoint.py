@@ -1,10 +1,18 @@
-"""Checkpointing of (params, opt_state, step, best_metric) pytrees.
+"""Checkpointing of (params, opt_state, rng, epoch, best_metric) pytrees.
 
 Reference semantics: save-on-improvement of the valid metric, resume for final
 test (beta_rec/models/torch_engine.py:70-90, core/train_engine.py:200-223).
-Serialization uses flax msgpack (host numpy), so checkpoints are
-device/backend-independent; an Orbax async path can be swapped in for
-multi-host runs without changing callers.
+The reference persists only the model ``state_dict``; here the FULL training
+state round-trips (optimizer moments, RNG key, epoch counter, early-stop
+bookkeeping), so an interrupted run resumes exactly.
+
+Two interchangeable backends:
+
+- ``"flax"`` (default): single-file msgpack via flax.serialization — host
+  numpy, device/backend-independent, no extra processes.
+- ``"orbax"``: directory-per-checkpoint via orbax.checkpoint
+  StandardCheckpointer — async-capable and multi-host/sharded-array aware
+  (SURVEY §5 names Orbax as the TPU-native equivalent of torch.save).
 """
 
 import json
@@ -16,10 +24,24 @@ from flax import serialization
 
 from ..utils.common import ensure_dir
 
+_ORBAX_SUBDIR = "orbax_state"
 
-def save_checkpoint(ckpt_dir, state_dict, name="checkpoint.msgpack"):
+
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(ckpt_dir, state_dict, name="checkpoint.msgpack", backend="flax"):
     """Serialize a dict of pytrees (params/opt_state/...) plus metadata."""
     ensure_dir(ckpt_dir)
+    if backend == "orbax":
+        path = os.path.abspath(os.path.join(ckpt_dir, _ORBAX_SUBDIR))
+        ckptr = _orbax_checkpointer()
+        ckptr.save(path, state_dict, force=True)
+        ckptr.wait_until_finished()
+        return path
     host_state = jax.device_get(state_dict)
     path = os.path.join(ckpt_dir, name)
     with open(path, "wb") as f:
@@ -27,10 +49,18 @@ def save_checkpoint(ckpt_dir, state_dict, name="checkpoint.msgpack"):
     return path
 
 
-def load_checkpoint(ckpt_dir, target, name="checkpoint.msgpack"):
-    """Restore into ``target`` (a template pytree with the right structure)."""
-    path = os.path.join(ckpt_dir, name)
-    with open(path, "rb") as f:
+def load_checkpoint(ckpt_dir, target, name="checkpoint.msgpack", backend=None):
+    """Restore into ``target`` (a template pytree with the right structure).
+
+    ``backend=None`` auto-detects: prefers whichever format exists on disk.
+    """
+    orbax_path = os.path.abspath(os.path.join(ckpt_dir, _ORBAX_SUBDIR))
+    flax_path = os.path.join(ckpt_dir, name)
+    if backend is None:
+        backend = "orbax" if os.path.isdir(orbax_path) and not os.path.exists(flax_path) else "flax"
+    if backend == "orbax":
+        return _orbax_checkpointer().restore(orbax_path, target)
+    with open(flax_path, "rb") as f:
         return serialization.from_bytes(target, f.read())
 
 

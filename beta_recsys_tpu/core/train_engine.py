@@ -380,6 +380,7 @@ class TrainEngine:
         if not isinstance(config, Config):
             config = Config(config)
         self.config = config
+        self.start_epoch = 0
         self.prepare_env()
 
     # -- environment --------------------------------------------------------------
@@ -595,7 +596,7 @@ class TrainEngine:
             )
             if valid_result:
                 self.bookkeeper.update(0, valid_result)
-                self.save_checkpoint()
+                self.save_checkpoint(epoch=0)
             self.run_time = time.time() - start
             return {
                 "valid_metric": self.bookkeeper.best_valid_performance,
@@ -607,7 +608,7 @@ class TrainEngine:
             # Capture a device trace of the first post-compile epochs
             # (reference's @timeit + Monitor become jax.profiler traces here).
             jax.profiler.start_trace(self.profile_dir)
-        for epoch in range(max_epoch):
+        for epoch in range(getattr(self, "start_epoch", 0), max_epoch):
             t0 = time.time()
             self.params, self.opt_state, self.rng, loss = self.epoch_fn(
                 self.params, self.opt_state, self.rng
@@ -626,7 +627,7 @@ class TrainEngine:
                 else False
             )
             if improved:
-                self.save_checkpoint()
+                self.save_checkpoint(epoch=epoch)
             if self.writer is not None:
                 self.writer.add_scalar("model/loss", loss, epoch)
                 for key, value in valid_result.items():
@@ -661,27 +662,66 @@ class TrainEngine:
 
     # -- checkpointing ------------------------------------------------------------
 
-    def save_checkpoint(self):
+    def save_checkpoint(self, epoch=None):
+        """Persist FULL training state (params, opt moments, rng, bookkeeping).
+
+        The reference saves only the model state_dict
+        (beta_rec/models/torch_engine.py:70-73); persisting the optimizer state
+        and RNG key as well makes an interrupted run resume bit-exactly.
+        Backend is ``system.checkpoint_backend``: "flax" (msgpack file) or
+        "orbax" (async-capable, sharded-array aware).
+        """
+        backend = self.config.system.get("checkpoint_backend", "flax")
         save_checkpoint(
             self.checkpoint_dir,
-            {"params": self.params, "opt_state": self.opt_state},
+            {
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "rng": jax.random.key_data(self.rng),
+            },
+            backend=backend,
         )
         save_metadata(
             self.checkpoint_dir,
             {
                 "best_valid_performance": self.bookkeeper.best_valid_performance,
                 "best_epoch": self.bookkeeper.best_epoch,
+                "n_no_update": self.bookkeeper.n_no_update,
+                "epoch": self.bookkeeper.best_epoch if epoch is None else epoch,
                 "model_run_id": self.model_run_id,
                 "config": self.config.to_dict(),
             },
         )
 
     def resume_checkpoint(self, ckpt_dir=None):
-        target = {"params": self.params, "opt_state": self.opt_state}
+        target = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "rng": jax.random.key_data(self.rng),
+        }
         restored = load_checkpoint(ckpt_dir or self.checkpoint_dir, target)
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
+        self.rng = jax.random.wrap_key_data(jnp.asarray(restored["rng"]))
         return self.params
+
+    def resume_training(self, ckpt_dir=None):
+        """Restore full state + early-stop bookkeeping; train() continues.
+
+        Returns the epoch index training will resume from. The reference has
+        no mid-run resume (SURVEY §5: "No optimizer/step state, no mid-epoch
+        resume") — this is a capability the TPU build adds.
+        """
+        from .checkpoint import load_metadata
+
+        ckpt_dir = ckpt_dir or self.checkpoint_dir
+        self.resume_checkpoint(ckpt_dir)
+        meta = load_metadata(ckpt_dir)
+        self.bookkeeper.best_valid_performance = float(meta["best_valid_performance"])
+        self.bookkeeper.best_epoch = int(meta["best_epoch"])
+        self.bookkeeper.n_no_update = int(meta.get("n_no_update", 0))
+        self.start_epoch = int(meta.get("epoch", meta["best_epoch"])) + 1
+        return self.start_epoch
 
     # -- final test ---------------------------------------------------------------
 

@@ -47,9 +47,10 @@ WRAPPERS = {
 }
 
 
-def parse_args():
+def parse_args(fixed_model=None):
     parser = argparse.ArgumentParser(description="Train any recommender on TPU.")
-    parser.add_argument("--model", type=str, required=True, choices=sorted(WRAPPERS))
+    if fixed_model is None:
+        parser.add_argument("--model", type=str, required=True, choices=sorted(WRAPPERS))
     parser.add_argument("--config_file", default=None)
     parser.add_argument("--dataset", type=str, default=None)
     parser.add_argument("--data_split", type=str, default=None)
@@ -64,9 +65,15 @@ def parse_args():
     return parser.parse_args()
 
 
-def main():
-    args = vars(parse_args())
-    wrapper_cls, default_cfg = WRAPPERS[args.pop("model")]
+def run_model(fixed_model=None):
+    """Train one recommender end-to-end; ``fixed_model`` pins the model key.
+
+    The per-model wrappers in this directory (train_ncf.py, train_lightgcn.py,
+    ...) mirror the reference's per-model CLIs (reference examples/train_*.py,
+    e.g. examples/train_ncf.py:20-74) by calling this with their model key.
+    """
+    args = vars(parse_args(fixed_model))
+    wrapper_cls, default_cfg = WRAPPERS[fixed_model or args.pop("model")]
     config_file = args.pop("config_file") or default_cfg
     config = load_config(config_file, overrides=args)
     split = load_split_dataset(config.to_dict())
@@ -74,6 +81,10 @@ def main():
     model = wrapper_cls(config)
     print("train result:", model.train(data))
     print("test result:", model.test())
+
+
+def main():
+    run_model()
 
 
 if __name__ == "__main__":

@@ -54,3 +54,34 @@ def test_train_mf_cli(workdir):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "test result:" in r.stdout
     assert os.path.exists(workdir / "results" / "mf_result.csv")
+
+
+def test_per_model_wrapper_cli(workdir):
+    """The thin per-model scripts (train_ncf.py etc.) delegate to run_model."""
+    cfg = json.load(open(os.path.join(REPO, "configs", "ncf_default.json")))
+    cfg["system"]["root_dir"] = "./"
+    cfg["dataset"].update({"dataset": "synthetic", "n_test": 1, "n_negative": 10})
+    cfg["model"].update({"max_epoch": 2, "max_n_update": 2, "emb_dim": 8,
+                         "layers": [16, 8], "batch_size": 256})
+    with open(workdir / "smoke_ncf.json", "w") as f:
+        json.dump(cfg, f)
+    r = _run(["examples/train_ncf.py", "--config_file", "smoke_ncf.json"], workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "test result:" in r.stdout
+
+
+def test_all_per_model_wrappers_parse():
+    """Every train_<model>.py resolves its model key and prints --help."""
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(REPO, "examples", "train_*.py"))):
+        name = os.path.basename(path)
+        if name in ("train_model.py",):
+            continue
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        r = subprocess.run(
+            [sys.executable, path, "--help"], env=env,
+            capture_output=True, text=True, timeout=120, cwd=REPO,
+        )
+        assert r.returncode == 0, f"{name}: {r.stderr[-500:]}"

@@ -5,6 +5,8 @@ loop → early stop → checkpoint → results CSV, asserting the model actually
 learns (valid ndcg@10 well above the random-ranking baseline).
 """
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -130,3 +132,63 @@ def test_checkpoint_roundtrip(mf_setup):
     assert set(before) == set(after)
     for k in before:
         assert np.all(np.isfinite(np.asarray(after[k])))
+
+
+def test_resume_training_full_state(mf_setup):
+    """Interrupted run resumes with optimizer state, rng, and bookkeeping.
+
+    The reference cannot do this (state_dict only, SURVEY §5); assert the
+    resumed engine continues from the saved epoch and matches the saved
+    best-metric bookkeeping exactly.
+    """
+    import jax
+
+    cfg, data = mf_setup
+    cfg2 = cfg.replace(model={"max_epoch": 4, "max_n_update": 50})
+    valid_cand = data.eval_candidates(data.valid[0])
+
+    model = build_model(cfg2.model, data.n_users, data.n_items)
+    engine = TrainEngine(cfg2)
+    engine.build(model, data, valid_cand, None)
+    engine.train(verbose=False)
+    engine.save_checkpoint(epoch=3)  # persist state as of epoch 3 regardless of improvement
+    ckpt_dir = engine.checkpoint_dir
+
+    resumed = TrainEngine(cfg2)
+    resumed.build(build_model(cfg2.model, data.n_users, data.n_items), data, valid_cand, None)
+    start = resumed.resume_training(ckpt_dir)
+    assert start == 4
+    assert resumed.bookkeeper.best_valid_performance == engine.bookkeeper.best_valid_performance
+    assert resumed.bookkeeper.n_no_update == engine.bookkeeper.n_no_update
+    for k, v in jax.device_get(engine.params).items():
+        np.testing.assert_allclose(np.asarray(jax.device_get(resumed.params)[k]), np.asarray(v))
+    # rng restored: identical key data
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(resumed.rng)), np.asarray(jax.random.key_data(engine.rng))
+    )
+    # continuing 4 more epochs from restored state runs and keeps learning state sane
+    result = resumed.train(max_epoch=8, verbose=False)
+    assert result["valid_metric"] >= engine.bookkeeper.best_valid_performance - 1e-9
+
+
+def test_orbax_checkpoint_backend(mf_setup):
+    """system.checkpoint_backend="orbax" round-trips the same full state."""
+    import jax
+
+    cfg, data = mf_setup
+    cfg2 = cfg.replace(
+        system={"checkpoint_backend": "orbax"}, model={"max_epoch": 2, "max_n_update": 50}
+    )
+    valid_cand = data.eval_candidates(data.valid[0])
+    engine = TrainEngine(cfg2)
+    engine.build(build_model(cfg2.model, data.n_users, data.n_items), data, valid_cand, None)
+    engine.train(verbose=False)
+    engine.save_checkpoint(epoch=1)
+    assert os.path.isdir(os.path.join(engine.checkpoint_dir, "orbax_state"))
+
+    resumed = TrainEngine(cfg2)
+    resumed.build(build_model(cfg2.model, data.n_users, data.n_items), data, valid_cand, None)
+    start = resumed.resume_training(engine.checkpoint_dir)
+    assert start == 2
+    for k, v in jax.device_get(engine.params).items():
+        np.testing.assert_allclose(np.asarray(jax.device_get(resumed.params)[k]), np.asarray(v))
