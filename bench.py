@@ -120,6 +120,61 @@ def bench_sasrec(data, n_epochs=3):
     return seqs_per_sec, dt
 
 
+def bench_eval(data, n_repeats=5):
+    """Eval-pass wall time, candidate (1 pos + 100 negs) and full-catalog modes.
+
+    Reference baseline: MF ml-100k eval pass ~9.3 s
+    (train_eval_worker log, examples/MF_API_test.ipynb).
+    """
+    import jax
+    import pandas as pd
+
+    from beta_recsys_tpu.core.eval_engine import FullCatalogEvaluator, RankingEvaluator
+    from beta_recsys_tpu.models.mf import MF
+    from beta_recsys_tpu.utils.constants import (
+        DEFAULT_ITEM_COL,
+        DEFAULT_RATING_COL,
+        DEFAULT_USER_COL,
+    )
+
+    mf_cfg = {"model": "MF", "emb_dim": 64, "batch_size": 400, "loss": "bpr",
+              "optimizer": "adam", "lr": 0.05, "reg": 0.0}
+    model = MF(mf_cfg, data.n_users, data.n_items)
+    params = model.init_params(jax.random.key(0))
+
+    # candidate mode: every user, 1 positive + 100 sampled negatives
+    rng = np.random.default_rng(1)
+    rows = []
+    for u in range(data.n_users):
+        pos = rng.integers(0, data.n_items)
+        rows.append((u, pos, 1.0))
+        for it in rng.integers(0, data.n_items, 100):
+            rows.append((u, int(it), 0.0))
+    cand_df = pd.DataFrame(rows, columns=[DEFAULT_USER_COL, DEFAULT_ITEM_COL, DEFAULT_RATING_COL])
+    cand = data.eval_candidates(cand_df)
+    ev = RankingEvaluator(model, cand)
+    ev.evaluate(params)  # compile
+    t0 = time.time()
+    for _ in range(n_repeats):
+        ev.evaluate(params)
+    cand_sec = (time.time() - t0) / n_repeats
+
+    # full-catalog mode: all users x all items, train positives masked
+    import scipy.sparse as sp
+
+    rel = sp.csr_matrix(
+        (np.ones(data.n_users), (np.arange(data.n_users), rng.integers(0, data.n_items, data.n_users))),
+        shape=(data.n_users, data.n_items),
+    )
+    fc = FullCatalogEvaluator(model, np.arange(data.n_users), rel, data.user_item_csr())
+    fc.evaluate(params)  # compile
+    t0 = time.time()
+    for _ in range(n_repeats):
+        fc.evaluate(params)
+    full_sec = (time.time() - t0) / n_repeats
+    return cand_sec, full_sec
+
+
 def main(full=False):
     import jax
 
@@ -169,8 +224,25 @@ def main(full=False):
             "reference_epoch_sec_dunnhumby": 21.0,
         }
 
+        cand_sec, full_sec = bench_eval(data)
+        details["mf_ml100k_eval"] = {
+            "candidate_eval_sec": cand_sec,
+            "full_catalog_eval_sec": full_sec,
+            "reference_eval_sec": 9.3,
+            "vs_reference_candidate": 9.3 / cand_sec,
+        }
+
+    # merge into the existing details file so a plain (MF-only) run does not
+    # drop the --full sweep's entries
+    merged = {}
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            merged = json.load(f)
+    except Exception:
+        pass
+    merged.update(details)
     with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=2)
+        json.dump(merged, f, indent=2)
 
     print(
         json.dumps(

@@ -43,7 +43,9 @@ class RankingEvaluator:
 
     def evaluate(self, params):
         """Return {metric@k: float} for the model parameters."""
-        out = self._eval(params)
+        # Single host transfer for all metric scalars: per-metric float() would
+        # pay one device roundtrip each (costly on remote/tunneled TPUs).
+        out = jax.device_get(self._eval(params))
         return {k: float(v) for k, v in out.items()}
 
 
@@ -84,7 +86,9 @@ class FullCatalogEvaluator:
             trn = np.asarray(self.train_csr[blk_padded].todense(), dtype=np.float32)
             if pad:
                 rel[len(blk):] = 0.0  # padded users have no relevance → contribute 0
-            out = self._score_block(params, jnp.asarray(blk_padded), jnp.asarray(rel), jnp.asarray(trn))
+            out = jax.device_get(
+                self._score_block(params, jnp.asarray(blk_padded), jnp.asarray(rel), jnp.asarray(trn))
+            )
             for k, v in out.items():
                 # each block metric is a mean over B rows (padded rows are 0);
                 # v * B recovers the block's per-user sum

@@ -44,4 +44,7 @@ class RatingEvaluator:
         self._eval = jax.jit(_eval)
 
     def evaluate(self, params):
-        return {k: float(v) for k, v in self._eval(params).items()}
+        import jax
+
+        # one device_get for all scalars (avoids a roundtrip per metric)
+        return {k: float(v) for k, v in jax.device_get(self._eval(params)).items()}
