@@ -107,6 +107,60 @@ class Recommender:
         scores = self.model.score_pairs(self.engine.params, users, items)
         return np.asarray(scores)
 
+    def recommend(self, users=None, k=10, exclude_train=True, user_block=4096, item_block=8192):
+        """Top-k item recommendations per user — the serving surface.
+
+        The reference has no retrieval API (its `predict` only scores explicit
+        pairs, beta_rec/core/recommender.py:58-62); this runs on-device
+        streaming top-k for factorized models (O(block) memory at any catalog
+        size) and blocked `score_all` + `lax.top_k` otherwise.
+
+        Returns a DataFrame with columns (user, item, prediction, rank).
+        """
+        assert self.model is not None, "call train() or load() first"
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.topk import streaming_topk
+        from ..utils.constants import DEFAULT_PREDICTION_COL
+
+        model = self.test_model()
+        params = self.engine.params
+        if users is None:
+            users = np.arange(self.data.n_users, dtype=np.int32)
+        users = np.asarray(users, dtype=np.int32)
+        train_csr = self.data.user_item_csr() if exclude_train else None
+
+        embs = model.user_item_embeddings(params)
+        out_users, out_items, out_scores = [], [], []
+        for start in range(0, len(users), user_block):
+            blk = users[start : start + user_block]
+            mask = None
+            if train_csr is not None:
+                mask = jnp.asarray(np.asarray(train_csr[blk].todense()) > 0)
+            if embs is not None:
+                u_emb, i_emb = embs
+                scores, idx = streaming_topk(
+                    u_emb[jnp.asarray(blk)], i_emb, k, block=item_block, exclude_mask=mask
+                )
+            else:
+                all_scores = model.score_all(params, jnp.asarray(blk))
+                if mask is not None:
+                    all_scores = jnp.where(mask, -jnp.inf, all_scores)
+                scores, idx = jax.lax.top_k(all_scores, k)
+            scores, idx = np.asarray(scores), np.asarray(idx)
+            out_users.append(np.repeat(blk, k))
+            out_items.append(idx.reshape(-1))
+            out_scores.append(scores.reshape(-1))
+        return pd.DataFrame(
+            {
+                DEFAULT_USER_COL: np.concatenate(out_users),
+                DEFAULT_ITEM_COL: np.concatenate(out_items),
+                DEFAULT_PREDICTION_COL: np.concatenate(out_scores),
+                "rank": np.tile(np.arange(1, k + 1), sum(len(u) for u in out_users) // k),
+            }
+        )
+
     def load(self, model_dir):
         """Restore the best checkpoint from a save dir."""
         assert self.engine is not None, "build via train() before load()"

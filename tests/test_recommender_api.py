@@ -105,3 +105,22 @@ def test_experiment_matrix(tmp_path, data):
     results = exp.run()
     assert len(results) == 2
     assert "ndcg@10" in results.columns
+
+
+def test_recommend_topk(tmp_path, data):
+    """recommend() returns k ranked items per user, train items excluded."""
+    rec = MatrixFactorization(_cfg(tmp_path, max_epoch=5))
+    rec.train(data)
+    recs = rec.recommend(k=5)
+    assert set(recs.columns) >= {"col_user", "col_item", "col_prediction", "rank"}
+    assert len(recs) == data.n_users * 5
+    # per-user: ranks are 1..5 and scores are non-increasing
+    for u, grp in recs.groupby("col_user"):
+        assert list(grp["rank"]) == [1, 2, 3, 4, 5]
+        s = grp["col_prediction"].to_numpy()
+        assert np.all(s[:-1] >= s[1:] - 1e-6)
+    # no train items leak into recommendations
+    csr = data.user_item_csr()
+    for u, grp in recs.groupby("col_user"):
+        train_items = set(csr[u].indices)
+        assert not (set(grp["col_item"]) & train_items)
