@@ -52,12 +52,28 @@ def save_checkpoint(ckpt_dir, state_dict, name="checkpoint.msgpack", backend="fl
 def load_checkpoint(ckpt_dir, target, name="checkpoint.msgpack", backend=None):
     """Restore into ``target`` (a template pytree with the right structure).
 
-    ``backend=None`` auto-detects: prefers whichever format exists on disk.
+    ``backend=None`` auto-detects. When both formats exist in the directory
+    (e.g. ``checkpoint_backend`` switched between runs using the same dir),
+    the NEWER artifact by mtime wins and a warning is printed — a stale file
+    must never silently shadow newer state.
     """
     orbax_path = os.path.abspath(os.path.join(ckpt_dir, _ORBAX_SUBDIR))
     flax_path = os.path.join(ckpt_dir, name)
     if backend is None:
-        backend = "orbax" if os.path.isdir(orbax_path) and not os.path.exists(flax_path) else "flax"
+        has_orbax = os.path.isdir(orbax_path)
+        has_flax = os.path.exists(flax_path)
+        if has_orbax and has_flax:
+            backend = (
+                "orbax"
+                if os.path.getmtime(orbax_path) > os.path.getmtime(flax_path)
+                else "flax"
+            )
+            print(
+                f"[warn] both flax and orbax checkpoints exist in {ckpt_dir}; "
+                f"restoring the newer one ({backend})"
+            )
+        else:
+            backend = "orbax" if has_orbax else "flax"
     if backend == "orbax":
         return _orbax_checkpointer().restore(orbax_path, target)
     with open(flax_path, "rb") as f:

@@ -97,24 +97,40 @@ class Recommender:
             candidates, result_para=result_para, model=self.test_model()
         )
 
-    def predict(self, data_df):
-        """Scores for explicit (user, item) pairs in a DataFrame."""
+    def _serving_params(self, use_best):
+        """Params for serving: the best checkpoint when available (matching
+        the metrics test() reports), else the live final-epoch params. Never
+        mutates engine state, so serving is call-order independent."""
+        if use_best and self.engine.has_checkpoint("best"):
+            return self.engine.load_params()
+        return self.engine.params
+
+    def predict(self, data_df, use_best=True):
+        """Scores for explicit (user, item) pairs in a DataFrame.
+
+        ``use_best=True`` (default) scores with the best validation
+        checkpoint — the model whose metrics test() reports — rather than the
+        final-epoch params.
+        """
         assert self.model is not None, "call train() or load() first"
         import jax.numpy as jnp
 
         users = jnp.asarray(data_df[DEFAULT_USER_COL].to_numpy(np.int32))
         items = jnp.asarray(data_df[DEFAULT_ITEM_COL].to_numpy(np.int32))
-        scores = self.model.score_pairs(self.engine.params, users, items)
+        scores = self.model.score_pairs(self._serving_params(use_best), users, items)
         return np.asarray(scores)
 
-    def recommend(self, users=None, k=10, exclude_train=True, user_block=4096, item_block=8192):
+    def recommend(self, users=None, k=10, exclude_train=True, user_block=4096, item_block=8192, use_best=True):
         """Top-k item recommendations per user — the serving surface.
 
         The reference has no retrieval API (its `predict` only scores explicit
         pairs, beta_rec/core/recommender.py:58-62); this runs on-device
         streaming top-k for factorized models (O(block) memory at any catalog
-        size) and blocked `score_all` + `lax.top_k` otherwise.
+        size) and blocked `score_all` + `lax.top_k` otherwise. Scores come
+        back through the model's ``retrieval_score_transform`` so the
+        prediction column is on the same scale predict() returns.
 
+        ``use_best=True`` (default) serves the best validation checkpoint.
         Returns a DataFrame with columns (user, item, prediction, rank).
         """
         assert self.model is not None, "call train() or load() first"
@@ -125,7 +141,7 @@ class Recommender:
         from ..utils.constants import DEFAULT_PREDICTION_COL
 
         model = self.test_model()
-        params = self.engine.params
+        params = self._serving_params(use_best)
         if users is None:
             users = np.arange(self.data.n_users, dtype=np.int32)
         users = np.asarray(users, dtype=np.int32)
@@ -143,6 +159,7 @@ class Recommender:
                 scores, idx = streaming_topk(
                     u_emb[jnp.asarray(blk)], i_emb, k, block=item_block, exclude_mask=mask
                 )
+                scores = model.retrieval_score_transform(params, scores)
             else:
                 all_scores = model.score_all(params, jnp.asarray(blk))
                 if mask is not None:

@@ -608,6 +608,10 @@ class TrainEngine:
             # Capture a device trace of the first post-compile epochs
             # (reference's @timeit + Monitor become jax.profiler traces here).
             jax.profiler.start_trace(self.profile_dir)
+        # Resume-state cadence: write <ckpt_dir>/last every N epochs (0 = only
+        # at the end of the loop), separate from the best-model checkpoint.
+        save_last_every = int(self.config.system.get("save_last_every", 1))
+        epoch = self.start_epoch - 1
         for epoch in range(getattr(self, "start_epoch", 0), max_epoch):
             t0 = time.time()
             self.params, self.opt_state, self.rng, loss = self.epoch_fn(
@@ -627,7 +631,9 @@ class TrainEngine:
                 else False
             )
             if improved:
-                self.save_checkpoint(epoch=epoch)
+                self.save_checkpoint(epoch=epoch, kind="best")
+            if save_last_every and (epoch + 1) % save_last_every == 0:
+                self.save_checkpoint(epoch=epoch, kind="last")
             if self.writer is not None:
                 self.writer.add_scalar("model/loss", loss, epoch)
                 for key, value in valid_result.items():
@@ -652,6 +658,11 @@ class TrainEngine:
         if self.profile_dir:
             jax.profiler.stop_trace()
             self.profile_dir = None
+        if self.epoch_fn is not None and epoch >= self.start_epoch:
+            self.save_checkpoint(epoch=epoch, kind="last")
+        # A completed train() consumes any resume point: a later train() on
+        # the same engine must run from epoch 0, not skip the resumed prefix.
+        self.start_epoch = 0
         self.run_time = time.time() - start
         return {
             "valid_metric": self.bookkeeper.best_valid_performance,
@@ -662,7 +673,7 @@ class TrainEngine:
 
     # -- checkpointing ------------------------------------------------------------
 
-    def save_checkpoint(self, epoch=None):
+    def save_checkpoint(self, epoch=None, kind="best"):
         """Persist FULL training state (params, opt moments, rng, bookkeeping).
 
         The reference saves only the model state_dict
@@ -670,10 +681,23 @@ class TrainEngine:
         and RNG key as well makes an interrupted run resume bit-exactly.
         Backend is ``system.checkpoint_backend``: "flax" (msgpack file) or
         "orbax" (async-capable, sharded-array aware).
+
+        Two DISTINCT artifacts (never conflated):
+        - ``kind="best"`` → ``<checkpoint_dir>/`` — the best-valid-metric
+          model, written on improvement; what ``test(use_best=True)`` and
+          ``Recommender.load`` restore.
+        - ``kind="last"`` → ``<checkpoint_dir>/last/`` — the resume state,
+          written every ``system.save_last_every`` epochs; what
+          ``resume_training`` continues from (the true interruption point).
         """
         backend = self.config.system.get("checkpoint_backend", "flax")
+        ckpt_dir = (
+            self.checkpoint_dir
+            if kind == "best"
+            else os.path.join(self.checkpoint_dir, "last")
+        )
         save_checkpoint(
-            self.checkpoint_dir,
+            ckpt_dir,
             {
                 "params": self.params,
                 "opt_state": self.opt_state,
@@ -682,8 +706,9 @@ class TrainEngine:
             backend=backend,
         )
         save_metadata(
-            self.checkpoint_dir,
+            ckpt_dir,
             {
+                "kind": kind,
                 "best_valid_performance": self.bookkeeper.best_valid_performance,
                 "best_epoch": self.bookkeeper.best_epoch,
                 "n_no_update": self.bookkeeper.n_no_update,
@@ -693,13 +718,42 @@ class TrainEngine:
             },
         )
 
-    def resume_checkpoint(self, ckpt_dir=None):
+    def has_checkpoint(self, kind="best"):
+        """Whether a checkpoint artifact of the given kind exists on disk.
+
+        (Directory existence is not enough: writing ``last/`` creates the
+        parent best-dir as a side effect.)
+        """
+        ckpt_dir = (
+            self.checkpoint_dir
+            if kind == "best"
+            else os.path.join(self.checkpoint_dir, "last")
+        )
+        return os.path.exists(os.path.join(ckpt_dir, "checkpoint.msgpack")) or os.path.isdir(
+            os.path.join(ckpt_dir, "orbax_state")
+        )
+
+    def _restore_state(self, ckpt_dir):
         target = {
             "params": self.params,
             "opt_state": self.opt_state,
             "rng": jax.random.key_data(self.rng),
         }
-        restored = load_checkpoint(ckpt_dir or self.checkpoint_dir, target)
+        return load_checkpoint(
+            ckpt_dir, target, backend=self.config.system.get("checkpoint_backend")
+        )
+
+    def load_params(self, ckpt_dir=None):
+        """Return the checkpointed params WITHOUT mutating engine state.
+
+        Serving/eval paths use this so scoring with the best checkpoint never
+        side-effects ``self.params`` (training continuation and serving stay
+        call-order independent).
+        """
+        return self._restore_state(ckpt_dir or self.checkpoint_dir)["params"]
+
+    def resume_checkpoint(self, ckpt_dir=None):
+        restored = self._restore_state(ckpt_dir or self.checkpoint_dir)
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
         self.rng = jax.random.wrap_key_data(jnp.asarray(restored["rng"]))
@@ -708,13 +762,18 @@ class TrainEngine:
     def resume_training(self, ckpt_dir=None):
         """Restore full state + early-stop bookkeeping; train() continues.
 
-        Returns the epoch index training will resume from. The reference has
-        no mid-run resume (SURVEY §5: "No optimizer/step state, no mid-epoch
+        Prefers the ``last/`` resume checkpoint (the interruption point) when
+        present, falling back to the best-model checkpoint otherwise. Returns
+        the epoch index training will resume from. The reference has no
+        mid-run resume (SURVEY §5: "No optimizer/step state, no mid-epoch
         resume") — this is a capability the TPU build adds.
         """
         from .checkpoint import load_metadata
 
         ckpt_dir = ckpt_dir or self.checkpoint_dir
+        last_dir = os.path.join(ckpt_dir, "last")
+        if os.path.exists(last_dir):
+            ckpt_dir = last_dir
         self.resume_checkpoint(ckpt_dir)
         meta = load_metadata(ckpt_dir)
         self.bookkeeper.best_valid_performance = float(meta["best_valid_performance"])
@@ -731,9 +790,24 @@ class TrainEngine:
         ``model`` overrides the scoring model (sequence recommenders score the
         final test against a train+valid context, reference
         eval_engine.test_seq_predict:319-375).
+
+        Scoring uses the best checkpoint's params WITHOUT mutating
+        ``self.params`` — training continuation after test() is unaffected.
         """
-        if use_best and os.path.exists(self.checkpoint_dir):
-            self.resume_checkpoint()
+        params = self.params
+        if use_best and self.has_checkpoint("best"):
+            from .checkpoint import load_metadata
+
+            try:
+                meta = load_metadata(self.checkpoint_dir)
+                if meta.get("kind", "best") != "best":
+                    print(
+                        f"[warn] checkpoint at {self.checkpoint_dir} is a "
+                        f"'{meta.get('kind')}' (resume) checkpoint, not best-model"
+                    )
+            except FileNotFoundError:
+                pass
+            params = self.load_params()
         sys_cfg = self.config.system
         metrics = tuple(sys_cfg.get("metrics", ["ndcg", "precision", "recall", "map"]))
         ks = tuple(sys_cfg.get("k", [5, 10, 20]))
@@ -744,7 +818,7 @@ class TrainEngine:
         ]
         mean_row, rows = test_eval(
             evaluators,
-            self.params,
+            params,
             result_file=self.result_file,
             result_para=result_para or {},
             run_time=getattr(self, "run_time", None),

@@ -48,6 +48,15 @@ class RecModel:
         model has no factorized form (then score_pairs must be overridden)."""
         return None
 
+    def retrieval_score_transform(self, params, scores):
+        """Map raw factorized retrieval scores (dot products of the
+        ``user_item_embeddings`` tables) onto the scale ``score_pairs``
+        returns. Identity by default; models whose score_pairs applies a
+        nonlinearity or a term absent from the factorized form (e.g. MF's
+        sigmoid + global bias) override this so ``Recommender.recommend()``
+        and ``predict()`` report consistent score scales."""
+        return scores
+
     def score_pairs(self, params, users, items):
         """Score aligned (user, item) pairs -> (...,) float scores."""
         embs = self.user_item_embeddings(params)

@@ -44,6 +44,11 @@ class MF(RecModel):
         i_ext = jnp.concatenate([i, params["item_bias"][:, None], ones_i], axis=1)
         return u_ext, i_ext
 
+    def retrieval_score_transform(self, params, scores):
+        """The factorized form omits the global bias and the sigmoid (both
+        rank-invariant); re-apply them so recommend() matches score_pairs."""
+        return jax.nn.sigmoid(scores + params["global_bias"])
+
     def score_pairs(self, params, users, items):
         u_emb = params["user_emb"][users]
         i_emb = params["item_emb"][items]

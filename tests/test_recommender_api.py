@@ -124,3 +124,44 @@ def test_recommend_topk(tmp_path, data):
     for u, grp in recs.groupby("col_user"):
         train_items = set(csr[u].indices)
         assert not (set(grp["col_item"]) & train_items)
+
+
+def test_serving_uses_best_checkpoint_and_consistent_scale(tmp_path, data):
+    """ADVICE r1: predict()/recommend() serve the best checkpoint regardless
+    of call order, and recommend() scores are on predict()'s scale (MF:
+    sigmoid of bias-augmented logits, global bias included)."""
+    rec = MatrixFactorization(_cfg(tmp_path, max_epoch=8))
+    rec.train(data)
+
+    # recommend() without calling test() first
+    recs = rec.recommend(k=5)
+    pairs = pd.DataFrame(
+        {
+            DEFAULT_USER_COL: recs["col_user"].to_numpy(),
+            DEFAULT_ITEM_COL: recs["col_item"].to_numpy(),
+        }
+    )
+    scores = rec.predict(pairs)
+    np.testing.assert_allclose(recs["col_prediction"].to_numpy(), scores, rtol=1e-5, atol=1e-6)
+    # MF scores are sigmoid outputs: bounded in (0, 1)
+    assert recs["col_prediction"].between(0.0, 1.0).all()
+
+    # call-order independence: test() then recommend() gives identical output
+    rec.test()
+    recs2 = rec.recommend(k=5)
+    np.testing.assert_allclose(
+        recs["col_prediction"].to_numpy(), recs2["col_prediction"].to_numpy(), rtol=1e-6
+    )
+    pd.testing.assert_frame_equal(
+        recs[["col_user", "col_item"]], recs2[["col_user", "col_item"]]
+    )
+
+    # use_best=False serves live final-epoch params instead
+    import jax.numpy as jnp
+
+    live = rec.model.score_pairs(
+        rec.engine.params,
+        jnp.asarray(pairs[DEFAULT_USER_COL].to_numpy(np.int32)),
+        jnp.asarray(pairs[DEFAULT_ITEM_COL].to_numpy(np.int32)),
+    )
+    np.testing.assert_allclose(rec.predict(pairs, use_best=False), np.asarray(live), rtol=1e-6)

@@ -192,3 +192,92 @@ def test_orbax_checkpoint_backend(mf_setup):
     assert start == 2
     for k, v in jax.device_get(engine.params).items():
         np.testing.assert_allclose(np.asarray(jax.device_get(resumed.params)[k]), np.asarray(v))
+
+
+def test_best_and_last_checkpoints_are_distinct(mf_setup, tmp_path):
+    """ADVICE r1: resume state (last/) must not overwrite the best-model
+    checkpoint, and test(use_best=True) must not mutate live params."""
+    import jax
+
+    cfg, data = mf_setup
+    cfg2 = cfg.replace(system={"root_dir": str(tmp_path)}, model={"max_epoch": 6, "max_n_update": 50})
+    valid_cand = data.eval_candidates(data.valid[0])
+    test_cand = data.eval_candidates(data.test[0])
+    engine = TrainEngine(cfg2)
+    engine.build(build_model(cfg2.model, data.n_users, data.n_items), data, valid_cand, test_cand)
+    engine.train(verbose=False)
+
+    from beta_recsys_tpu.core.checkpoint import load_metadata
+
+    best_meta = load_metadata(engine.checkpoint_dir)
+    last_meta = load_metadata(os.path.join(engine.checkpoint_dir, "last"))
+    assert best_meta["kind"] == "best"
+    assert last_meta["kind"] == "last"
+    assert best_meta["epoch"] == best_meta["best_epoch"]
+    assert last_meta["epoch"] == 5  # interruption point, not best epoch
+
+    # best params on disk are the best-epoch params; loading them must not
+    # clobber the live (final-epoch) state
+    live_before = jax.device_get(engine.params)
+    engine.test([test_cand], use_best=True)
+    live_after = jax.device_get(engine.params)
+    for k in live_before:
+        np.testing.assert_array_equal(np.asarray(live_before[k]), np.asarray(live_after[k]))
+
+    # resume_training picks the last/ state (epoch 6), not the best epoch
+    resumed = TrainEngine(cfg2)
+    resumed.build(build_model(cfg2.model, data.n_users, data.n_items), data, valid_cand, None)
+    assert resumed.resume_training(engine.checkpoint_dir) == 6
+    for k, v in jax.device_get(engine.params).items():
+        np.testing.assert_allclose(np.asarray(jax.device_get(resumed.params)[k]), np.asarray(v))
+
+
+def test_train_after_resume_runs_full_range(mf_setup, tmp_path):
+    """ADVICE r1: a fresh train() after a resumed run must not silently skip
+    epochs 0..start_epoch-1 (start_epoch resets when train() completes)."""
+    cfg, data = mf_setup
+    cfg2 = cfg.replace(system={"root_dir": str(tmp_path)}, model={"max_epoch": 3, "max_n_update": 50})
+    valid_cand = data.eval_candidates(data.valid[0])
+    engine = TrainEngine(cfg2)
+    engine.build(build_model(cfg2.model, data.n_users, data.n_items), data, valid_cand, None)
+    engine.train(verbose=False)
+
+    resumed = TrainEngine(cfg2)
+    resumed.build(build_model(cfg2.model, data.n_users, data.n_items), data, valid_cand, None)
+    assert resumed.resume_training(engine.checkpoint_dir) == 3
+    resumed.train(max_epoch=5, verbose=False)  # continues 3..4
+    assert resumed.start_epoch == 0  # consumed
+    # a subsequent train() must start from epoch 0 again (full range)
+    epochs_run = []
+    orig = resumed.epoch_fn
+
+    def counting_epoch_fn(params, opt_state, rng):
+        epochs_run.append(1)
+        return orig(params, opt_state, rng)
+
+    resumed.epoch_fn = counting_epoch_fn
+    resumed.train(max_epoch=2, verbose=False)
+    assert len(epochs_run) == 2
+
+
+def test_checkpoint_backend_mtime_autodetect(tmp_path):
+    """When both flax and orbax artifacts exist, the newer one wins."""
+    import time as _time
+
+    import jax
+
+    from beta_recsys_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+
+    ckpt = str(tmp_path / "ck")
+    state_old = {"w": np.full((3,), 1.0, np.float32)}
+    state_new = {"w": np.full((3,), 2.0, np.float32)}
+    save_checkpoint(ckpt, state_old, backend="flax")
+    _time.sleep(0.05)
+    save_checkpoint(ckpt, state_new, backend="orbax")
+    got = load_checkpoint(ckpt, {"w": np.zeros((3,), np.float32)})
+    np.testing.assert_allclose(np.asarray(got["w"]), 2.0)
+    # flip: now flax is newer
+    _time.sleep(0.05)
+    save_checkpoint(ckpt, {"w": np.full((3,), 3.0, np.float32)}, backend="flax")
+    got = load_checkpoint(ckpt, {"w": np.zeros((3,), np.float32)})
+    np.testing.assert_allclose(np.asarray(got["w"]), 3.0)
