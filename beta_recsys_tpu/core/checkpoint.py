@@ -57,27 +57,51 @@ def load_checkpoint(ckpt_dir, target, name="checkpoint.msgpack", backend=None):
     the NEWER artifact by mtime wins and a warning is printed — a stale file
     must never silently shadow newer state.
     """
+    if backend is None:
+        backend = _detect_backend(ckpt_dir, name)
+    if backend == "orbax":
+        orbax_path = os.path.abspath(os.path.join(ckpt_dir, _ORBAX_SUBDIR))
+        return _orbax_checkpointer().restore(orbax_path, target)
+    with open(os.path.join(ckpt_dir, name), "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def _detect_backend(ckpt_dir, name):
     orbax_path = os.path.abspath(os.path.join(ckpt_dir, _ORBAX_SUBDIR))
     flax_path = os.path.join(ckpt_dir, name)
+    has_orbax = os.path.isdir(orbax_path)
+    has_flax = os.path.exists(flax_path)
+    if has_orbax and has_flax:
+        backend = (
+            "orbax"
+            if os.path.getmtime(orbax_path) > os.path.getmtime(flax_path)
+            else "flax"
+        )
+        print(
+            f"[warn] both flax and orbax checkpoints exist in {ckpt_dir}; "
+            f"restoring the newer one ({backend})"
+        )
+        return backend
+    return "orbax" if has_orbax else "flax"
+
+
+def load_raw_checkpoint(ckpt_dir, name="checkpoint.msgpack", backend=None):
+    """Restore WITHOUT a target template: returns the raw nested-dict state.
+
+    Enables cold-start serving — a fresh process can read a checkpoint's
+    params knowing only the directory, then map them onto a freshly-built
+    model with ``flax.serialization.from_state_dict``.
+    """
     if backend is None:
-        has_orbax = os.path.isdir(orbax_path)
-        has_flax = os.path.exists(flax_path)
-        if has_orbax and has_flax:
-            backend = (
-                "orbax"
-                if os.path.getmtime(orbax_path) > os.path.getmtime(flax_path)
-                else "flax"
-            )
-            print(
-                f"[warn] both flax and orbax checkpoints exist in {ckpt_dir}; "
-                f"restoring the newer one ({backend})"
-            )
-        else:
-            backend = "orbax" if has_orbax else "flax"
+        backend = _detect_backend(ckpt_dir, name)
     if backend == "orbax":
-        return _orbax_checkpointer().restore(orbax_path, target)
-    with open(flax_path, "rb") as f:
-        return serialization.from_bytes(target, f.read())
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(ckpt_dir, _ORBAX_SUBDIR))
+        with ocp.PyTreeCheckpointer() as ckptr:
+            return ckptr.restore(path)
+    with open(os.path.join(ckpt_dir, name), "rb") as f:
+        return serialization.msgpack_restore(f.read())
 
 
 def save_metadata(ckpt_dir, metadata, name="metadata.json"):

@@ -143,8 +143,13 @@ class Recommender:
         model = self.test_model()
         params = self._serving_params(use_best)
         if users is None:
-            users = np.arange(self.data.n_users, dtype=np.int32)
+            users = np.arange(model.n_users, dtype=np.int32)
         users = np.asarray(users, dtype=np.int32)
+        if exclude_train and self.data is None:
+            raise ValueError(
+                "exclude_train=True needs the training data to know which "
+                "items to exclude — pass data= to load(), or exclude_train=False"
+            )
         train_csr = self.data.user_item_csr() if exclude_train else None
 
         embs = model.user_item_embeddings(params)
@@ -178,8 +183,79 @@ class Recommender:
             }
         )
 
-    def load(self, model_dir):
-        """Restore the best checkpoint from a save dir."""
-        assert self.engine is not None, "build via train() before load()"
-        self.engine.resume_checkpoint(model_dir)
+    def export_embeddings(self, path, use_best=True):
+        """Write the model's final user/item embedding tables to an ``.npz``.
+
+        The factorized serving artifact: feed these into an ANN index (ScaNN/
+        FAISS-style) for production retrieval. For propagation models
+        (LightGCN etc.) the exported tables are the PROPAGATED embeddings, so
+        dot products reproduce the model's scores without running the graph
+        at query time. Raises for models with no factorized form.
+        """
+        assert self.model is not None, "call train() or load() first"
+        model = self.test_model()
+        params = self._serving_params(use_best)
+        embs = model.user_item_embeddings(params)
+        if embs is None:
+            raise ValueError(
+                f"{type(model).__name__} has no factorized (user_emb, item_emb) "
+                "form; serve it through recommend() instead"
+            )
+        u_emb, i_emb = embs
+        np.savez_compressed(
+            path, user_emb=np.asarray(u_emb), item_emb=np.asarray(i_emb)
+        )
+        return path
+
+    def load(self, model_dir, data=None):
+        """Restore the best checkpoint from a save dir.
+
+        Works COLD — in a fresh process with no prior train() — by rebuilding
+        the model from the checkpoint metadata (n_users/n_items persisted at
+        save time) and mapping the stored params onto it. Models whose scoring
+        needs derived artifacts (graph adjacency, sequence contexts) must be
+        given ``data`` so ``build_artifacts`` can run; factorized models load
+        with nothing but the directory.
+        """
+        if self.engine is not None:
+            self.engine.resume_checkpoint(model_dir)
+            return self
+
+        import jax
+        from flax import serialization
+
+        from ..core.checkpoint import load_metadata, load_raw_checkpoint
+        from .train_engine import make_optimizer
+
+        meta = load_metadata(model_dir)
+        n_users, n_items = meta.get("n_users"), meta.get("n_items")
+        if n_users is None or n_items is None:
+            raise ValueError(
+                f"checkpoint at {model_dir} lacks n_users/n_items metadata "
+                "(saved by an older version?) — pass data= or call train() first"
+            )
+        if data is not None:
+            self.data = data
+        artifacts = self.build_artifacts(self.data) if self.data is not None else {}
+        model_cfg = self.config.model
+        self.model = build_model(
+            model_cfg if self.model_name is None
+            else model_cfg.replace(model=self.model_name),
+            int(n_users),
+            int(n_items),
+            artifacts=artifacts,
+        )
+        engine = TrainEngine(self.config)
+        engine.model = self.model
+        engine.data = self.data
+        engine.rng, init_key = jax.random.split(engine.rng)
+        template = self.model.init_params(init_key)
+        raw = load_raw_checkpoint(
+            model_dir, backend=self.config.system.get("checkpoint_backend")
+        )
+        engine.params = serialization.from_state_dict(template, raw["params"])
+        engine.optimizer = make_optimizer(model_cfg)
+        engine.opt_state = engine.optimizer.init(engine.params)
+        engine.checkpoint_dir = model_dir
+        self.engine = engine
         return self

@@ -714,6 +714,8 @@ class TrainEngine:
                 "n_no_update": self.bookkeeper.n_no_update,
                 "epoch": self.bookkeeper.best_epoch if epoch is None else epoch,
                 "model_run_id": self.model_run_id,
+                "n_users": getattr(getattr(self, "data", None), "n_users", None),
+                "n_items": getattr(getattr(self, "data", None), "n_items", None),
                 "config": self.config.to_dict(),
             },
         )

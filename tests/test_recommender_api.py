@@ -165,3 +165,46 @@ def test_serving_uses_best_checkpoint_and_consistent_scale(tmp_path, data):
         jnp.asarray(pairs[DEFAULT_ITEM_COL].to_numpy(np.int32)),
     )
     np.testing.assert_allclose(rec.predict(pairs, use_best=False), np.asarray(live), rtol=1e-6)
+
+
+def test_cold_start_load_and_serve(tmp_path, data):
+    """A FRESH recommender (no train()) loads a checkpoint dir and serves:
+    the production path the reference lacks (its load needs a live engine)."""
+    rec = MatrixFactorization(_cfg(tmp_path, max_epoch=6))
+    result = rec.train(data)
+    save_dir = result["model_save_dir"]
+    pairs = data.test[0].head(10)
+    want = rec.predict(pairs)
+    recs_want = rec.recommend(k=5, exclude_train=False)
+
+    cold = MatrixFactorization(_cfg(tmp_path, max_epoch=6))
+    cold.load(save_dir)  # no data, no train
+    np.testing.assert_allclose(cold.predict(pairs), want, rtol=1e-6)
+    recs_cold = cold.recommend(k=5, exclude_train=False)
+    np.testing.assert_allclose(
+        recs_cold["col_prediction"].to_numpy(),
+        recs_want["col_prediction"].to_numpy(),
+        rtol=1e-6,
+    )
+    # exclude_train without data raises a clear error
+    with pytest.raises(ValueError, match="exclude_train"):
+        cold.recommend(k=5)
+    # with data supplied, train-item exclusion works cold too
+    cold2 = MatrixFactorization(_cfg(tmp_path, max_epoch=6))
+    cold2.load(save_dir, data=data)
+    assert len(cold2.recommend(k=5)) == data.n_users * 5
+
+
+def test_export_embeddings(tmp_path, data):
+    rec = MatrixFactorization(_cfg(tmp_path, max_epoch=4))
+    rec.train(data)
+    path = rec.export_embeddings(str(tmp_path / "emb.npz"))
+    arrs = np.load(path)
+    u, i = arrs["user_emb"], arrs["item_emb"]
+    assert u.shape[0] == data.n_users and i.shape[0] == data.n_items
+    # exported tables reproduce recommend()'s ranking (bias-augmented form)
+    recs = rec.recommend(k=3, exclude_train=False)
+    scores = u @ i.T
+    top3 = np.argsort(-scores, axis=1)[:, :3]
+    got = recs["col_item"].to_numpy().reshape(data.n_users, 3)
+    np.testing.assert_array_equal(got, top3)
