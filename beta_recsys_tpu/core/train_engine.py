@@ -82,6 +82,32 @@ def _check_nonempty(n, what):
         raise ValueError(f"empty training set for {what} — check filters/splits")
 
 
+def _loss_with_dtype(model, compute_dtype):
+    """Mixed-precision hook shared by every epoch builder.
+
+    With ``compute_dtype`` (typically ``bfloat16``, the TPU MXU's native
+    input type) the float leaves of the params pytree are cast down INSIDE
+    the differentiated function, so the forward/backward runs in low
+    precision while the master params, the gradients (astype's VJP casts the
+    cotangent back up), and the optimizer moments all stay float32 — the
+    standard TPU mixed-precision recipe. ``None`` leaves the loss untouched.
+    """
+    if compute_dtype is None:
+        return model.loss
+    dt = jnp.dtype(compute_dtype)
+
+    def loss_fn(params, batch, rng):
+        cast = jax.tree_util.tree_map(
+            lambda x: x.astype(dt)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            params,
+        )
+        return model.loss(cast, batch, rng).astype(jnp.float32)
+
+    return loss_fn
+
+
 def _padded_order(perm, padded_size):
     """Extend a permutation to ``padded_size`` by wrapping (static shapes)."""
     n = perm.shape[0]
@@ -91,7 +117,7 @@ def _padded_order(perm, padded_size):
     return jnp.concatenate([perm] * reps)[:padded_size]
 
 
-def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, num_neg=1, donate=True, mesh=None):
+def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, num_neg=1, donate=True, mesh=None, compute_dtype=None):
     """Build a jitted whole-epoch trainer: (params, opt_state, rng) -> updated + mean loss.
 
     The scan body assembles the batch the model's ``batch_kind`` expects:
@@ -115,6 +141,8 @@ def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, 
     num_batches = -(-n // batch_size)
     padded_size = num_batches * batch_size
     kind = model.batch_kind
+
+    loss_fn = _loss_with_dtype(model, compute_dtype)
 
     def epoch_fn(params, opt_state, rng):
         rng, perm_key = jax.random.split(rng)
@@ -147,7 +175,7 @@ def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, 
                     "use the model family's dedicated epoch builder"
                 )
             batch = _mesh_shard_batch(batch, mesh)
-            loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             post = getattr(model, "post_update", None)
@@ -173,7 +201,7 @@ def _mesh_shard_batch(batch, mesh):
     sharding = NamedSharding(mesh, P("data"))
     return {k: jax.lax.with_sharding_constraint(v, sharding) for k, v in batch.items()}
 
-def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler, donate=True, mesh=None):
+def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler, donate=True, mesh=None, compute_dtype=None):
     """Whole-epoch jitted trainer for sequence models (SASRec family).
 
     ``seq_arrays`` from SequentialData.train_seq_arrays: users (n,), seq/pos
@@ -191,6 +219,8 @@ def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler
     num_batches = max(n // batch_size, 1)
     maxlen = seq.shape[1]
 
+    loss_fn = _loss_with_dtype(model, compute_dtype)
+
     def epoch_fn(params, opt_state, rng):
         def step(carry, _):
             params, opt_state, rng = carry
@@ -204,7 +234,7 @@ def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler
             neg0 = neg_sampler(k_neg, u[:, None], (batch_size, maxlen))
             neg = jnp.where(p != 0, neg0 + 1, 0)
             batch = _mesh_shard_batch({"users": u, "seq": s, "pos": p, "neg": neg}, mesh)
-            loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, rng), loss
@@ -217,7 +247,7 @@ def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
-def make_prefix_epoch_fn(model, optimizer, arrays, batch_size, donate=True, mesh=None):
+def make_prefix_epoch_fn(model, optimizer, arrays, batch_size, donate=True, mesh=None, compute_dtype=None):
     """Whole-epoch trainer over (prefix, target) session examples (NARM family)."""
     seq = jnp.asarray(arrays["seq"])
     target = jnp.asarray(arrays["target"])
@@ -226,6 +256,8 @@ def make_prefix_epoch_fn(model, optimizer, arrays, batch_size, donate=True, mesh
     batch_size = min(batch_size, n)
     num_batches = -(-n // batch_size)
     padded_size = num_batches * batch_size
+
+    loss_fn = _loss_with_dtype(model, compute_dtype)
 
     def epoch_fn(params, opt_state, rng):
         rng, perm_key = jax.random.split(rng)
@@ -236,7 +268,7 @@ def make_prefix_epoch_fn(model, optimizer, arrays, batch_size, donate=True, mesh
             params, opt_state, rng = carry
             rng, k_loss = jax.random.split(rng)
             batch = _mesh_shard_batch({"seq": seq[batch_order], "target": target[batch_order]}, mesh)
-            loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, rng), loss
@@ -247,7 +279,7 @@ def make_prefix_epoch_fn(model, optimizer, arrays, batch_size, donate=True, mesh
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
-def make_sequence_time_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler, donate=True, mesh=None):
+def make_sequence_time_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler, donate=True, mesh=None, compute_dtype=None):
     """Sequence trainer with per-user time-interval matrices (TiSASRec)."""
     users = jnp.asarray(seq_arrays["users"])
     seq = jnp.asarray(seq_arrays["seq"])
@@ -258,6 +290,8 @@ def make_sequence_time_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sa
     batch_size = min(batch_size, n)
     num_batches = max(n // batch_size, 1)
     maxlen = seq.shape[1]
+
+    loss_fn = _loss_with_dtype(model, compute_dtype)
 
     def epoch_fn(params, opt_state, rng):
         def step(carry, _):
@@ -276,7 +310,7 @@ def make_sequence_time_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sa
                 "time_matrix": time_matrix[rows],
             }
             batch = _mesh_shard_batch(batch, mesh)
-            loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, rng), loss
@@ -289,7 +323,7 @@ def make_sequence_time_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sa
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
-def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True, mesh=None):
+def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True, mesh=None, compute_dtype=None):
     """Whole-epoch trainer over dense user rows (VAE family).
 
     ``user_rows``: (n_users, n_items) float matrix (binarized interactions);
@@ -303,6 +337,8 @@ def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True, 
     num_batches = -(-n // batch_size)
     padded_size = num_batches * batch_size
 
+    loss_fn = _loss_with_dtype(model, compute_dtype)
+
     def epoch_fn(params, opt_state, rng):
         rng, perm_key = jax.random.split(rng)
         order = _padded_order(jax.random.permutation(perm_key, n), padded_size)
@@ -312,7 +348,7 @@ def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True, 
             params, opt_state, rng = carry
             rng, k_loss = jax.random.split(rng)
             batch = _mesh_shard_batch({"rows": rows_mat[batch_order], "users": batch_order}, mesh)
-            loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, rng), loss
@@ -325,7 +361,7 @@ def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True, 
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
-def make_triple_epoch_fn(model, optimizer, triples, batch_size, n_users, n_items, n_neg, donate=True, mesh=None):
+def make_triple_epoch_fn(model, optimizer, triples, batch_size, n_users, n_items, n_neg, donate=True, mesh=None, compute_dtype=None):
     """Whole-epoch trainer over (user, item_i, item_j[, t]) basket triples.
 
     Negative users/items are drawn uniformly on device each step (the reference
@@ -340,6 +376,8 @@ def make_triple_epoch_fn(model, optimizer, triples, batch_size, n_users, n_items
     batch_size = min(batch_size, n)
     num_batches = -(-n // batch_size)
     padded_size = num_batches * batch_size
+
+    loss_fn = _loss_with_dtype(model, compute_dtype)
 
     def epoch_fn(params, opt_state, rng):
         rng, perm_key = jax.random.split(rng)
@@ -360,7 +398,7 @@ def make_triple_epoch_fn(model, optimizer, triples, batch_size, n_users, n_items
             if t_arr is not None:
                 batch["t"] = t_arr[batch_order]
             batch = _mesh_shard_batch(batch, mesh)
-            loss, grads = jax.value_and_grad(model.loss)(params, batch, k_loss)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, rng), loss
@@ -464,6 +502,10 @@ class TrainEngine:
             self.params = shard_params(self.params, self.mesh, rule)
         self.opt_state = self.optimizer.init(self.params)
         neg_sampler = make_negative_sampler(data, model_cfg.get("neg_sampler", "auto"))
+        # Mixed precision: model.compute_dtype (or system.compute_dtype)
+        # = "bfloat16" runs the forward/backward on the MXU's native input
+        # type with float32 master params/grads/moments (see _loss_with_dtype).
+        compute_dtype = model_cfg.get("compute_dtype", sys_cfg.get("compute_dtype"))
         kind = getattr(model, "batch_kind", "pairwise")
         # Sparse path builds pairwise BPR batches against model.row_loss; only
         # engage when that is actually the configured objective.
@@ -506,6 +548,7 @@ class TrainEngine:
                 data.prefix_target_arrays(int(model_cfg.get("maxlen", 19))),
                 int(model_cfg.get("batch_size", 128)),
                 mesh=self.mesh,
+                compute_dtype=compute_dtype,
             )
         elif kind == "sequence_time":
             self.epoch_fn = make_sequence_time_epoch_fn(
@@ -515,6 +558,7 @@ class TrainEngine:
                 int(model_cfg.get("batch_size", 128)),
                 neg_sampler=neg_sampler,
                 mesh=self.mesh,
+                compute_dtype=compute_dtype,
             )
         elif kind == "sequence":
             self.epoch_fn = make_sequence_epoch_fn(
@@ -524,6 +568,7 @@ class TrainEngine:
                 int(model_cfg.get("batch_size", 128)),
                 neg_sampler=neg_sampler,
                 mesh=self.mesh,
+                compute_dtype=compute_dtype,
             )
         elif kind == "userrow":
             rows = model.artifacts.get("user_rows") if hasattr(model, "artifacts") else None
@@ -535,6 +580,7 @@ class TrainEngine:
             self.epoch_fn = make_userrow_epoch_fn(
                 model, self.optimizer, rows, int(model_cfg.get("batch_size", 256)),
                 mesh=self.mesh,
+                compute_dtype=compute_dtype,
             )
         elif kind == "triple":
             triples = data.sample_triples(
@@ -550,6 +596,7 @@ class TrainEngine:
                 data.n_items,
                 int(model_cfg.get("n_neg", 5)),
                 mesh=self.mesh,
+                compute_dtype=compute_dtype,
             )
         else:
             self.epoch_fn = make_epoch_fn(
@@ -560,16 +607,17 @@ class TrainEngine:
                 neg_sampler=neg_sampler,
                 num_neg=int(getattr(model, "num_neg", model_cfg.get("num_negative", 4))),
                 mesh=self.mesh,
+                compute_dtype=compute_dtype,
             )
         metrics = tuple(sys_cfg.get("metrics", ["ndcg", "precision", "recall", "map"]))
         ks = tuple(sys_cfg.get("k", [5, 10, 20]))
         self.valid_evaluator = (
-            RankingEvaluator(model, valid_candidates, metrics, ks)
+            RankingEvaluator(model, valid_candidates, metrics, ks, mesh=self.mesh)
             if valid_candidates is not None
             else None
         )
         self.test_evaluator = (
-            RankingEvaluator(model, test_candidates, metrics, ks)
+            RankingEvaluator(model, test_candidates, metrics, ks, mesh=self.mesh)
             if test_candidates is not None
             else None
         )
