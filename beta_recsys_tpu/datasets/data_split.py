@@ -46,12 +46,51 @@ def check_data_available(data):
         )
 
 
-def filter_user_item(df, min_u_c=5, min_i_c=5):
+def _kcore_native(df, min_u_c, min_i_c, min_o_c):
+    """C++ fast path for the distinct-count k-core; None when unavailable.
+
+    The iterative filter has a unique maximal fixed point (a violating row's
+    counts can only decrease, so it can never re-qualify) — removal order
+    does not matter, making the simultaneous-removal C++ kernel exactly
+    equivalent to the sequential pandas loop.
+    """
+    from .. import native
+
+    if not native.available():
+        return None
+    u_codes, u_uniq = pd.factorize(df[DEFAULT_USER_COL])
+    i_codes, i_uniq = pd.factorize(df[DEFAULT_ITEM_COL])
+    pair_ids, pair_uniq = pd.factorize(
+        u_codes.astype(np.int64) * len(i_uniq) + i_codes
+    )
+    uo_ids, n_uos = None, 0
+    if min_o_c > 0:
+        o_codes, o_uniq = pd.factorize(df[DEFAULT_ORDER_COL])
+        uo_ids, uo_uniq = pd.factorize(
+            u_codes.astype(np.int64) * len(o_uniq) + o_codes
+        )
+        n_uos = len(uo_uniq)
+    keep = native.kcore_filter_distinct(
+        u_codes, i_codes, pair_ids, uo_ids,
+        len(u_uniq), len(i_uniq), len(pair_uniq), n_uos,
+        min_u_c, min_i_c, min_o_c,
+    )
+    return df[keep]
+
+
+def filter_user_item(df, min_u_c=5, min_i_c=5, use_native=True):
     """Iterative k-core filter: users with >= min_i_c items, items with >= min_u_c users.
 
     Iterates to a fixed point (removing users can invalidate items and vice versa).
-    Reference: beta_rec/datasets/data_split.py:63-115.
+    Reference: beta_rec/datasets/data_split.py:63-115. With the native host
+    library the whole iteration runs in C++ (one pass over int arrays per
+    round vs a pandas groupby-nunique per filter per round).
     """
+    if use_native:
+        fast = _kcore_native(df, min_u_c, min_i_c, 0)
+        if fast is not None:
+            check_data_available(fast)
+            return fast
     n_interact = len(df.index)
     while True:
         if min_i_c > 0:
@@ -66,11 +105,16 @@ def filter_user_item(df, min_u_c=5, min_i_c=5):
     return df
 
 
-def filter_user_item_order(df, min_u_c=5, min_i_c=5, min_o_c=5):
+def filter_user_item_order(df, min_u_c=5, min_i_c=5, min_o_c=5, use_native=True):
     """k-core filter additionally requiring users to have >= min_o_c orders.
 
     Reference: beta_rec/datasets/data_split.py:118-177.
     """
+    if use_native:
+        fast = _kcore_native(df, min_u_c, min_i_c, min_o_c)
+        if fast is not None:
+            check_data_available(fast)
+            return fast
     n_interact = len(df.index)
     while True:
         if min_o_c > 0:

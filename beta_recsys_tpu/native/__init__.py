@@ -36,6 +36,7 @@ def _load():
             lib.alias_sample.restype = None
             lib.feed_neg_batch.restype = ctypes.c_int
             lib.kcore_filter.restype = None
+            lib.kcore_filter_distinct.restype = None
             _lib = lib
         except OSError:
             return None
@@ -160,6 +161,74 @@ def kcore_filter(users, items, n_users, n_items, min_u_c, min_i_c):
             ((min_i_c > 0) & (u_deg[users] < min_i_c))
             | ((min_u_c > 0) & (i_deg[items] < min_u_c))
         )
+        if drop.any():
+            keep &= ~drop
+            changed = True
+    return keep
+
+
+def kcore_filter_distinct(users, items, pair_ids, uo_ids, n_users, n_items,
+                          n_pairs, n_uos, min_u_c, min_i_c, min_o_c=0):
+    """Surviving-row mask for the DISTINCT-count k-core (pandas nunique
+    semantics): users need >= min_i_c distinct items (and, with ``uo_ids``,
+    >= min_o_c distinct orders); items need >= min_u_c distinct users.
+
+    ``pair_ids``/``uo_ids`` are dense factorizations of (user, item) and
+    (user, order); pass ``uo_ids=None`` when min_o_c == 0. Numpy fallback
+    mirrors the C++ kernel exactly.
+    """
+    users = np.ascontiguousarray(users, dtype=np.int64)
+    items = np.ascontiguousarray(items, dtype=np.int64)
+    pair_ids = np.ascontiguousarray(pair_ids, dtype=np.int64)
+    has_orders = uo_ids is not None and min_o_c > 0
+    if has_orders:
+        uo_ids = np.ascontiguousarray(uo_ids, dtype=np.int64)
+    n_rows = len(users)
+    keep = np.empty(n_rows, dtype=np.uint8)
+    lib = _load()
+    if lib is not None:
+        lib.kcore_filter_distinct(
+            _ptr(users, ctypes.c_int64), _ptr(items, ctypes.c_int64),
+            _ptr(pair_ids, ctypes.c_int64),
+            _ptr(uo_ids, ctypes.c_int64) if has_orders else None,
+            ctypes.c_int64(n_rows), ctypes.c_int64(n_users),
+            ctypes.c_int64(n_items), ctypes.c_int64(n_pairs),
+            ctypes.c_int64(n_uos if has_orders else 0),
+            ctypes.c_int64(min_u_c), ctypes.c_int64(min_i_c),
+            ctypes.c_int64(min_o_c if has_orders else 0),
+            _ptr(keep, ctypes.c_uint8),
+        )
+        return keep.astype(bool)
+    keep[:] = 1
+    keep = keep.astype(bool)
+    changed = True
+    while changed:
+        changed = False
+        # distinct counts: first surviving row of each pair/(user,order) group
+        pair_first = np.zeros(n_pairs, dtype=bool)
+        alive = np.flatnonzero(keep)
+        first_of_pair = ~pair_first[pair_ids[alive]]
+        # np.unique over surviving group ids gives one representative per group
+        upairs = np.unique(pair_ids[alive])
+        user_items = np.zeros(n_users, dtype=np.int64)
+        item_users = np.zeros(n_items, dtype=np.int64)
+        del pair_first, first_of_pair
+        # map each surviving pair group back to its (user, item) via any row
+        rep = np.zeros(n_pairs, dtype=np.int64)
+        rep[pair_ids[alive]] = alive  # last write wins; any row of the group works
+        np.add.at(user_items, users[rep[upairs]], 1)
+        np.add.at(item_users, items[rep[upairs]], 1)
+        drop = keep & (
+            ((min_i_c > 0) & (user_items[users] < min_i_c))
+            | ((min_u_c > 0) & (item_users[items] < min_u_c))
+        )
+        if has_orders:
+            uuos = np.unique(uo_ids[alive])
+            rep_uo = np.zeros(n_uos, dtype=np.int64)
+            rep_uo[uo_ids[alive]] = alive
+            user_orders = np.zeros(n_users, dtype=np.int64)
+            np.add.at(user_orders, users[rep_uo[uuos]], 1)
+            drop |= keep & (user_orders[users] < min_o_c)
         if drop.any():
             keep &= ~drop
             changed = True

@@ -126,4 +126,52 @@ void kcore_filter(const int64_t* users, const int64_t* items, int64_t n_rows,
   }
 }
 
+// Distinct-count iterative k-core (the semantics the split pipeline actually
+// uses — pandas groupby().nunique(), reference data_split.py:23-43):
+//   a row survives iff its user has >= min_i_c DISTINCT items, its item has
+//   >= min_u_c DISTINCT users, and (with uo_ids) its user has >= min_o_c
+//   DISTINCT orders, all counted over surviving rows only.
+// pair_ids: dense factorization of (user, item); uo_ids: of (user, order),
+// or nullptr when min_o_c == 0. Simultaneous removal per round converges to
+// the same (unique, maximal) fixed point as the reference's sequential
+// filters: a violating row can never re-qualify, since counts only decrease.
+void kcore_filter_distinct(const int64_t* users, const int64_t* items,
+                           const int64_t* pair_ids, const int64_t* uo_ids,
+                           int64_t n_rows, int64_t n_users, int64_t n_items,
+                           int64_t n_pairs, int64_t n_uos, int64_t min_u_c,
+                           int64_t min_i_c, int64_t min_o_c,
+                           uint8_t* keep_out) {
+  std::memset(keep_out, 1, n_rows);
+  std::vector<int64_t> pair_cnt(n_pairs), uo_cnt(uo_ids ? n_uos : 0);
+  std::vector<int64_t> user_items(n_users), item_users(n_items),
+      user_orders(min_o_c > 0 && uo_ids ? n_users : 0);
+  bool changed = true;
+  while (changed) {
+    changed = false;
+    std::fill(pair_cnt.begin(), pair_cnt.end(), 0);
+    std::fill(uo_cnt.begin(), uo_cnt.end(), 0);
+    std::fill(user_items.begin(), user_items.end(), 0);
+    std::fill(item_users.begin(), item_users.end(), 0);
+    std::fill(user_orders.begin(), user_orders.end(), 0);
+    for (int64_t r = 0; r < n_rows; ++r) {
+      if (!keep_out[r]) continue;
+      if (pair_cnt[pair_ids[r]]++ == 0) {
+        user_items[users[r]]++;
+        item_users[items[r]]++;
+      }
+      if (!user_orders.empty() && uo_cnt[uo_ids[r]]++ == 0)
+        user_orders[users[r]]++;
+    }
+    for (int64_t r = 0; r < n_rows; ++r) {
+      if (!keep_out[r]) continue;
+      if ((min_i_c > 0 && user_items[users[r]] < min_i_c) ||
+          (min_u_c > 0 && item_users[items[r]] < min_u_c) ||
+          (!user_orders.empty() && user_orders[users[r]] < min_o_c)) {
+        keep_out[r] = 0;
+        changed = true;
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -75,3 +75,61 @@ def test_kcore_filter_matches_pandas():
     ref_pairs = set(zip(ref[DEFAULT_USER_COL], ref[DEFAULT_ITEM_COL]))
     got_pairs = set(zip(users[keep], items[keep]))
     assert got_pairs == ref_pairs
+
+
+def test_kcore_filter_distinct_matches_pandas_with_duplicates():
+    """Native distinct-count k-core == pandas nunique loop, duplicates present."""
+    import pandas as pd
+
+    from beta_recsys_tpu.datasets.data_split import (
+        filter_user_item,
+        filter_user_item_order,
+    )
+    from beta_recsys_tpu.utils.constants import (
+        DEFAULT_ITEM_COL,
+        DEFAULT_ORDER_COL,
+        DEFAULT_RATING_COL,
+        DEFAULT_USER_COL,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            DEFAULT_USER_COL: rng.integers(0, 80, n),   # duplicates guaranteed
+            DEFAULT_ITEM_COL: rng.integers(0, 70, n),
+            DEFAULT_ORDER_COL: rng.integers(0, 400, n),
+            DEFAULT_RATING_COL: 1.0,
+        }
+    )
+    ref = filter_user_item(df, 8, 8, use_native=False).reset_index(drop=True)
+    got = filter_user_item(df, 8, 8, use_native=True).reset_index(drop=True)
+    assert got.equals(ref)
+
+    ref_o = filter_user_item_order(df, 8, 8, 4, use_native=False).reset_index(drop=True)
+    got_o = filter_user_item_order(df, 8, 8, 4, use_native=True).reset_index(drop=True)
+    assert got_o.equals(ref_o)
+
+
+def test_kcore_filter_distinct_string_ids():
+    import pandas as pd
+
+    from beta_recsys_tpu.datasets.data_split import filter_user_item
+    from beta_recsys_tpu.utils.constants import (
+        DEFAULT_ITEM_COL,
+        DEFAULT_RATING_COL,
+        DEFAULT_USER_COL,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            DEFAULT_USER_COL: ["u%d" % x for x in rng.integers(0, 40, n)],
+            DEFAULT_ITEM_COL: ["i%d" % x for x in rng.integers(0, 50, n)],
+            DEFAULT_RATING_COL: 1.0,
+        }
+    )
+    ref = filter_user_item(df, 6, 6, use_native=False).reset_index(drop=True)
+    got = filter_user_item(df, 6, 6, use_native=True).reset_index(drop=True)
+    assert got.equals(ref)
