@@ -58,7 +58,7 @@ def _time_epochs(epoch_fn, params, opt_state, rng_key, n_epochs=5):
     return (time.time() - t0) / n_epochs
 
 
-def bench_pairwise(data, model_cfg, model_cls, n_epochs=5):
+def bench_pairwise(data, model_cfg, model_cls, n_epochs=5, compute_dtype=None):
     import jax
 
     from beta_recsys_tpu.core.train_engine import (
@@ -75,7 +75,7 @@ def bench_pairwise(data, model_cfg, model_cls, n_epochs=5):
     epoch_fn = make_epoch_fn(
         model, optimizer, data.train_arrays(), model_cfg["batch_size"],
         neg_sampler=neg_sampler, num_neg=int(model_cfg.get("num_negative", 4)),
-        donate=False,
+        donate=False, compute_dtype=compute_dtype,
     )
     dt = _time_epochs(epoch_fn, params, opt_state, jax.random.key(42), n_epochs)
     n = len(data.train)
@@ -89,7 +89,7 @@ def _artifacts(model_cfg, data):
     return None
 
 
-def bench_sasrec(data, n_epochs=3):
+def bench_sasrec(data, n_epochs=3, compute_dtype=None):
     import jax
 
     from beta_recsys_tpu.core.train_engine import (
@@ -112,7 +112,8 @@ def bench_sasrec(data, n_epochs=3):
     neg_sampler = make_negative_sampler(data, "bitmask")
     seq_arrays = data.train_seq_arrays(maxlen)
     epoch_fn = make_sequence_epoch_fn(
-        model, optimizer, seq_arrays, cfg["batch_size"], neg_sampler, donate=False
+        model, optimizer, seq_arrays, cfg["batch_size"], neg_sampler,
+        donate=False, compute_dtype=compute_dtype,
     )
     dt = _time_epochs(epoch_fn, params, opt_state, jax.random.key(1), n_epochs)
     n_steps = max(len(seq_arrays["users"]) // cfg["batch_size"], 1)
@@ -222,6 +223,22 @@ def main(full=False):
             "sequences_per_sec": sas_sps,
             "epoch_sec": sas_dt,
             "reference_epoch_sec_dunnhumby": 21.0,
+        }
+
+        # bf16 mixed-precision variants (fp32 master params, bf16 compute)
+        sas16_sps, sas16_dt = bench_sasrec(seq_data, compute_dtype="bfloat16")
+        details["sasrec_ml100k_maxlen200_bf16"] = {
+            "sequences_per_sec": sas16_sps,
+            "epoch_sec": sas16_dt,
+            "speedup_vs_fp32": sas16_sps / sas_sps,
+        }
+        ncf16_eps, ncf16_dt = bench_pairwise(
+            data, ncf_cfg, NeuMF, n_epochs=3, compute_dtype="bfloat16"
+        )
+        details["ncf_ml100k_bf16"] = {
+            "examples_per_sec": ncf16_eps,
+            "epoch_sec": ncf16_dt,
+            "speedup_vs_fp32": ncf16_eps / ncf_eps,
         }
 
         cand_sec, full_sec = bench_eval(data)

@@ -84,7 +84,7 @@ def init_sparse_state(params, table_names):
     return {"moments": moments, "step": jnp.zeros((), jnp.int32)}
 
 
-def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense_optimizer=None, donate=True):
+def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense_optimizer=None, donate=True, compute_dtype=None):
     """Whole-epoch trainer with lazy-Adam row updates for embedding tables.
 
     The model must provide:
@@ -128,6 +128,18 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
             dense_params = {k: v for k, v in params.items() if k not in table_names}
 
             def loss_fn(rows, dense_params):
+                if compute_dtype is not None:
+                    # Mixed precision: gathered rows + dense params compute in
+                    # bf16; grads come back fp32 through astype's VJP, so the
+                    # fp32 lazy-Adam moments are untouched.
+                    dt = jnp.dtype(compute_dtype)
+                    cast = lambda t: jax.tree_util.tree_map(
+                        lambda x: x.astype(dt)
+                        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                        else x,
+                        t,
+                    )
+                    return model.row_loss(cast(rows), cast(dense_params), batch, k_loss).astype(jnp.float32)
                 return model.row_loss(rows, dense_params, batch, k_loss)
 
             loss, (g_rows, g_dense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(

@@ -532,6 +532,7 @@ class TrainEngine:
                 neg_sampler,
                 lr=lr,
                 dense_optimizer=self.optimizer,
+                compute_dtype=compute_dtype,
             )
             table_names = list(model.row_tables())
             sparse_state = init_sparse_state(self.params, table_names)

@@ -128,3 +128,23 @@ def test_sasrec_bf16_epoch(data):
     )
     p, o, k, loss = epoch_fn(params, optimizer.init(params), jax.random.key(3))
     assert np.isfinite(float(loss))
+
+
+def test_sparse_optim_bf16_learns(data, tmp_path):
+    """Lazy-Adam sparse path honors compute_dtype and reaches quality."""
+    cfg = Config(
+        {
+            "system": {"root_dir": str(tmp_path), "metrics": ["ndcg"], "k": [10],
+                       "valid_metric": "ndcg", "valid_k": 10, "seed": 11},
+            "dataset": {"dataset": "synthetic"},
+            "model": {"model": "MF", "loss": "bpr", "emb_dim": 16,
+                      "batch_size": 128, "optimizer": "adam", "lr": 0.05,
+                      "max_epoch": 30, "max_n_update": 30,
+                      "sparse_optim": True, "compute_dtype": "bfloat16"},
+        }
+    )
+    model = build_model(cfg.model, data.n_users, data.n_items)
+    engine = TrainEngine(cfg)
+    engine.build(model, data, data.eval_candidates(data.valid[0]), None)
+    result = engine.train(verbose=False)
+    assert result["valid_metric"] > THRESHOLD, result
