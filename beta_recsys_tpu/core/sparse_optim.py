@@ -21,6 +21,8 @@ and ``row_tables()`` (see models/mf.py MF.row_tables); the generic trainer
 handles everything else. Enable with model config ``"sparse_optim": true``.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -169,5 +171,189 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
             step, (params, sparse_state, dense_state, rng), order
         )
         return params, (sparse_state, dense_state), rng, jnp.mean(losses)
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip sparse training: row-sharded tables + lazy-Adam shard updates
+# ---------------------------------------------------------------------------
+
+
+def pad_rows(arr, multiple):
+    """Pad a table's leading dim to a multiple (pad rows are never touched)."""
+    n = arr.shape[0]
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return arr
+    pad = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, pad)
+
+
+def shard_sparse_params(params, table_names, mesh):
+    """Pad row tables to the model-axis size and place them row-sharded;
+    everything else replicates. Returns the placed params pytree."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import MODEL_AXIS
+
+    n_model = mesh.shape[MODEL_AXIS]
+    out = {}
+    for k, v in params.items():
+        if k in table_names:
+            v = pad_rows(v, n_model)
+            spec = P(MODEL_AXIS) if v.ndim == 1 else P(MODEL_AXIS, None)
+        else:
+            spec = P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def make_sharded_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, mesh, dense_optimizer=None, donate=True):
+    """Multi-chip whole-epoch sparse trainer (the BASELINE.json north star).
+
+    Embedding tables AND their lazy-Adam moments are row-sharded over the
+    "model" mesh axis; batches shard over "data". One shard_map per step:
+
+      forward   — each (data, model) device gathers its batch shard's hits in
+                  its table shard; a psum over "model" completes the rows
+                  (same collective as parallel.embedding.psum_gather_sharded_batch).
+      backward  — row gradients are taken w.r.t. the GATHERED rows (a (B, d)
+                  tensor); an all_gather over "data" routes every shard's
+                  (ids, grad-rows) to all model shards — O(B*d) communication,
+                  the transpose of the forward — and each model shard
+                  scatter-updates only the rows it owns. Table-sized arrays
+                  never cross the ICI.
+      optimizer — lazy-Adam per owned row (sparse_adam_row_update, duplicate
+                  ids across data shards summed by its segment dedup — exactly
+                  the single-device semantics); dense params update replicated
+                  with the psum-averaged gradient.
+
+    Gradient parity with the single-device make_sparse_epoch_fn is exact up to
+    float reassociation (pinned in tests/test_sharded_sparse.py): the local
+    per-shard means are rescaled by 1/n_data so their dedup-sum equals the
+    global batch mean.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from .train_engine import _padded_order
+
+    users = jnp.asarray(train_arrays.users)
+    items = jnp.asarray(train_arrays.items)
+    n = users.shape[0]
+    n_data = mesh.shape[DATA_AXIS]
+    batch_size = min(batch_size, n)
+    batch_size = max(batch_size // n_data, 1) * n_data
+    num_batches = -(-n // batch_size)
+    padded_size = num_batches * batch_size
+    table_roles = model.row_tables()
+    table_names = list(table_roles)
+    dense_optimizer = dense_optimizer or optax.adam(lr)
+
+    params_shape = jax.eval_shape(model.init_params, jax.random.key(0))
+    def _tspec(name, leaf):
+        if name in table_names:
+            return P(MODEL_AXIS) if len(leaf.shape) == 1 else P(MODEL_AXIS, None)
+        return P()
+    param_specs = {k: _tspec(k, v) for k, v in params_shape.items()}
+    moment_specs = {k: (param_specs[k], param_specs[k]) for k in table_names}
+
+    def _gather(local_table, ids):
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        rows_per = local_table.shape[0]
+        loc = ids - shard * rows_per
+        ok = (loc >= 0) & (loc < rows_per)
+        safe = jnp.clip(loc, 0, rows_per - 1)
+        r = local_table[safe]
+        mask = ok[..., None] if r.ndim > ok.ndim else ok
+        return jax.lax.psum(jnp.where(mask, r, 0.0), MODEL_AXIS)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            param_specs,
+            moment_specs,
+            P(),            # step counter
+            P(),            # dense optimizer state
+            P(DATA_AXIS),   # users
+            P(DATA_AXIS),   # pos items
+            P(DATA_AXIS),   # neg items
+            P(),            # rng key
+        ),
+        out_specs=(param_specs, moment_specs, P(), P(), P()),
+        check_vma=False,    # dense path is replicated by construction (psum'd
+                            # grads + identical optax update on every device)
+    )
+    def sharded_step(params, moments, step_i, dense_state, u, pos, neg, key):
+        batch = {"users": u, "pos_items": pos, "neg_items": neg}
+        role_ids = {"users": u, "items_cat": jnp.concatenate([pos, neg])}
+        rows = {
+            name: _gather(params[name], role_ids[table_roles[name]])
+            for name in table_names
+        }
+        dense_params = {k: v for k, v in params.items() if k not in table_names}
+
+        def loss_fn(rows, dense_params):
+            return model.row_loss(rows, dense_params, batch, key)
+
+        loss, (g_rows, g_dense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            rows, dense_params
+        )
+        # local means -> global batch mean
+        g_dense = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, DATA_AXIS) / n_data, g_dense
+        )
+        loss_g = jax.lax.psum(loss, DATA_AXIS) / n_data
+        new_step = step_i + 1
+        new_params = dict(params)
+        new_moments = dict(moments)
+        for name in table_names:
+            ids_all = jax.lax.all_gather(
+                role_ids[table_roles[name]], DATA_AXIS, tiled=True
+            )
+            g_all = jax.lax.all_gather(g_rows[name] / n_data, DATA_AXIS, tiled=True)
+            local_table = params[name]
+            m, v = moments[name]
+            rows_per = local_table.shape[0]
+            loc = ids_all - jax.lax.axis_index(MODEL_AXIS) * rows_per
+            ok = (loc >= 0) & (loc < rows_per)
+            safe = jnp.clip(loc, 0, rows_per - 1)
+            mask = ok[..., None] if g_all.ndim > ok.ndim else ok
+            g_masked = jnp.where(mask, g_all, 0.0)
+            t2, m2, v2 = sparse_adam_row_update(
+                local_table, m, v, safe, g_masked, lr, new_step.astype(jnp.float32)
+            )
+            new_params[name] = t2
+            new_moments[name] = (m2, v2)
+        updates, dense_state = dense_optimizer.update(g_dense, dense_state, dense_params)
+        new_params.update(optax.apply_updates(dense_params, updates))
+        return new_params, new_moments, new_step, dense_state, loss_g
+
+    def epoch_fn(params, opt_state, rng):
+        sparse_state, dense_state = opt_state
+        rng, perm_key = jax.random.split(rng)
+        order = _padded_order(jax.random.permutation(perm_key, n), padded_size)
+        order = order.reshape(num_batches, batch_size)
+
+        def step(carry, batch_order):
+            params, moments, step_i, dense_state, rng = carry
+            rng, k_neg, k_loss = jax.random.split(rng, 3)
+            u = users[batch_order]
+            pos = items[batch_order]
+            neg = neg_sampler(k_neg, u, (batch_size,))
+            params, moments, step_i, dense_state, loss = sharded_step(
+                params, moments, step_i, dense_state, u, pos, neg, k_loss
+            )
+            return (params, moments, step_i, dense_state, rng), loss
+
+        init = (params, sparse_state["moments"], sparse_state["step"], dense_state, rng)
+        (params, moments, step_i, dense_state, rng), losses = jax.lax.scan(
+            step, init, order
+        )
+        new_state = ({"moments": moments, "step": step_i}, dense_state)
+        return params, new_state, rng, jnp.mean(losses)
 
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())

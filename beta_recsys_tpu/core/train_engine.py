@@ -521,20 +521,49 @@ class TrainEngine:
             )
         if self._sparse_optim:
             # Lazy-Adam row updates (core/sparse_optim): table-height-independent
-            # step cost for production-scale embedding tables.
-            from .sparse_optim import init_sparse_state, make_sparse_epoch_fn
+            # step cost for production-scale embedding tables. With a mesh the
+            # tables AND moments row-shard over "model" and batches over "data"
+            # (make_sharded_sparse_epoch_fn — the BASELINE.json north star).
+            from .sparse_optim import (
+                init_sparse_state,
+                make_sharded_sparse_epoch_fn,
+                make_sparse_epoch_fn,
+                shard_sparse_params,
+            )
 
             lr = float(model_cfg.get("lr", 1e-3))
-            self.epoch_fn = make_sparse_epoch_fn(
-                model,
-                data.train_arrays(),
-                int(model_cfg.get("batch_size", 256)),
-                neg_sampler,
-                lr=lr,
-                dense_optimizer=self.optimizer,
-                compute_dtype=compute_dtype,
-            )
             table_names = list(model.row_tables())
+            if self.mesh is not None:
+                if compute_dtype is not None:
+                    print(
+                        "[warn] compute_dtype is not yet applied on the sharded "
+                        "sparse path; training runs float32"
+                    )
+                self.epoch_fn = make_sharded_sparse_epoch_fn(
+                    model,
+                    data.train_arrays(),
+                    int(model_cfg.get("batch_size", 256)),
+                    neg_sampler,
+                    lr=lr,
+                    mesh=self.mesh,
+                    dense_optimizer=self.optimizer,
+                )
+                # Re-place params: row tables padded to the model axis and
+                # sharded (pad rows are never touched by training or by
+                # candidate eval, which only gathers real ids).
+                self.params = shard_sparse_params(
+                    jax.device_get(self.params), table_names, self.mesh
+                )
+            else:
+                self.epoch_fn = make_sparse_epoch_fn(
+                    model,
+                    data.train_arrays(),
+                    int(model_cfg.get("batch_size", 256)),
+                    neg_sampler,
+                    lr=lr,
+                    dense_optimizer=self.optimizer,
+                    compute_dtype=compute_dtype,
+                )
             sparse_state = init_sparse_state(self.params, table_names)
             dense_params = {
                 k: v for k, v in self.params.items() if k not in table_names
