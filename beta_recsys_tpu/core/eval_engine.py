@@ -111,7 +111,9 @@ class FullCatalogEvaluator:
 
         def _score_block(params, users_blk, rel_blk, train_blk):
             users_blk, rel_blk, train_blk = _shard_rows(mesh, users_blk, rel_blk, train_blk)
-            scores = model.score_all(params, users_blk)
+            # tables may carry pad rows (sharded sparse training); pad items
+            # must never be ranked
+            scores = model.score_all(params, users_blk)[:, : model.n_items]
             scores = jnp.where(train_blk > 0, device_metrics.NEG_INF, scores)
             mask = jnp.ones_like(scores, dtype=bool)
             return device_metrics.ranking_metrics(scores, rel_blk, mask, self.metrics, self.ks)
@@ -167,7 +169,7 @@ class TopKRetrievalEvaluator:
     def evaluate(self, params):
         import jax.numpy as jnp
 
-        u_emb_all, i_emb_all = self.model.user_item_embeddings(params)
+        u_emb_all, i_emb_all = self.model.user_item_embeddings_trimmed(params)
         totals = {f"{m}@{k}": 0.0 for m in self.metrics for k in self.ks}
         B = self.user_block
         for start in range(0, len(self.users), B):

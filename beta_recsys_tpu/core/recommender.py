@@ -152,7 +152,7 @@ class Recommender:
             )
         train_csr = self.data.user_item_csr() if exclude_train else None
 
-        embs = model.user_item_embeddings(params)
+        embs = model.user_item_embeddings_trimmed(params)
         out_users, out_items, out_scores = [], [], []
         for start in range(0, len(users), user_block):
             blk = users[start : start + user_block]
@@ -166,7 +166,7 @@ class Recommender:
                 )
                 scores = model.retrieval_score_transform(params, scores)
             else:
-                all_scores = model.score_all(params, jnp.asarray(blk))
+                all_scores = model.score_all(params, jnp.asarray(blk))[:, : model.n_items]
                 if mask is not None:
                     all_scores = jnp.where(mask, -jnp.inf, all_scores)
                 scores, idx = jax.lax.top_k(all_scores, k)
@@ -195,7 +195,7 @@ class Recommender:
         assert self.model is not None, "call train() or load() first"
         model = self.test_model()
         params = self._serving_params(use_best)
-        embs = model.user_item_embeddings(params)
+        embs = model.user_item_embeddings_trimmed(params)
         if embs is None:
             raise ValueError(
                 f"{type(model).__name__} has no factorized (user_emb, item_emb) "

@@ -209,7 +209,7 @@ def shard_sparse_params(params, table_names, mesh):
     return out
 
 
-def make_sharded_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, mesh, dense_optimizer=None, donate=True):
+def make_sharded_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, mesh, dense_optimizer=None, donate=True, compute_dtype=None):
     """Multi-chip whole-epoch sparse trainer (the BASELINE.json north star).
 
     Embedding tables AND their lazy-Adam moments are row-sharded over the
@@ -297,6 +297,15 @@ def make_sharded_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, l
         dense_params = {k: v for k, v in params.items() if k not in table_names}
 
         def loss_fn(rows, dense_params):
+            if compute_dtype is not None:
+                dt = jnp.dtype(compute_dtype)
+                cast = lambda t: jax.tree_util.tree_map(
+                    lambda x: x.astype(dt)
+                    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                    else x,
+                    t,
+                )
+                return model.row_loss(cast(rows), cast(dense_params), batch, key).astype(jnp.float32)
             return model.row_loss(rows, dense_params, batch, key)
 
         loss, (g_rows, g_dense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(

@@ -534,11 +534,6 @@ class TrainEngine:
             lr = float(model_cfg.get("lr", 1e-3))
             table_names = list(model.row_tables())
             if self.mesh is not None:
-                if compute_dtype is not None:
-                    print(
-                        "[warn] compute_dtype is not yet applied on the sharded "
-                        "sparse path; training runs float32"
-                    )
                 self.epoch_fn = make_sharded_sparse_epoch_fn(
                     model,
                     data.train_arrays(),
@@ -547,6 +542,7 @@ class TrainEngine:
                     lr=lr,
                     mesh=self.mesh,
                     dense_optimizer=self.optimizer,
+                    compute_dtype=compute_dtype,
                 )
                 # Re-place params: row tables padded to the model axis and
                 # sharded (pad rows are never touched by training or by

@@ -48,6 +48,19 @@ class RecModel:
         model has no factorized form (then score_pairs must be overridden)."""
         return None
 
+    def user_item_embeddings_trimmed(self, params):
+        """``user_item_embeddings`` sliced to (n_users, n_items) rows.
+
+        Tables may carry pad rows (multi-chip sparse training row-shards them
+        over the mesh, core/sparse_optim.shard_sparse_params); retrieval
+        surfaces must never rank pad items, so full-table consumers go through
+        this trim (a no-op when tables are exact-size)."""
+        embs = self.user_item_embeddings(params)
+        if embs is None:
+            return None
+        u_emb, i_emb = embs
+        return u_emb[: self.n_users], i_emb[: self.n_items]
+
     def retrieval_score_transform(self, params, scores):
         """Map raw factorized retrieval scores (dot products of the
         ``user_item_embeddings`` tables) onto the scale ``score_pairs``
@@ -76,7 +89,7 @@ class RecModel:
 
     def score_all(self, params, users):
         """Full-catalog scores: users (U,) -> (U, n_items)."""
-        embs = self.user_item_embeddings(params)
+        embs = self.user_item_embeddings_trimmed(params)
         if embs is not None:
             u_emb, i_emb = embs
             return u_emb[users] @ i_emb.T

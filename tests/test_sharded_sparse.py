@@ -154,3 +154,43 @@ def test_engine_sparse_optim_with_mesh_learns(setup, tmp_path):
     assert result["valid_metric"] > 0.32, result
     for k in model.row_tables():
         assert "model" in str(engine.params[k].sharding.spec), k
+
+
+def test_padded_tables_never_rank_pad_items(setup):
+    """Retrieval surfaces trim pad rows (user_item_embeddings_trimmed): pad
+    item ids must never appear in score_all or streaming top-k output."""
+    from beta_recsys_tpu.ops.topk import streaming_topk
+
+    data, model = setup
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = _padded_params(model, mesh)  # item table padded 40 -> 40? force pad
+    # force a visible pad: repad to a multiple of 16
+    params = {k: (pad_rows(v, 16) if k in model.row_tables() else v)
+              for k, v in params.items()}
+    assert params["item_emb"].shape[0] > data.n_items
+    u_emb, i_emb = model.user_item_embeddings_trimmed(params)
+    assert i_emb.shape[0] == data.n_items and u_emb.shape[0] == data.n_users
+    _, idx = streaming_topk(u_emb[:5], i_emb, 10, block=16)
+    assert int(np.max(np.asarray(idx))) < data.n_items
+
+    # full-catalog eval consumer slices pad columns away and matches the
+    # unpadded-table metrics exactly (pad rows change nothing for real items)
+    import scipy.sparse as sp
+
+    from beta_recsys_tpu.core.eval_engine import FullCatalogEvaluator
+
+    rng = np.random.default_rng(0)
+    rel = sp.csr_matrix(
+        (np.ones(data.n_users),
+         (np.arange(data.n_users), rng.integers(0, data.n_items, data.n_users))),
+        shape=(data.n_users, data.n_items),
+    )
+    plain = model.init_params(jax.random.key(0))
+    base = FullCatalogEvaluator(
+        model, np.arange(data.n_users), rel, data.user_item_csr(), user_block=16
+    ).evaluate(plain)
+    padded = FullCatalogEvaluator(
+        model, np.arange(data.n_users), rel, data.user_item_csr(), user_block=16
+    ).evaluate(params)
+    for k in base:
+        assert padded[k] == pytest.approx(base[k], rel=1e-5), k
