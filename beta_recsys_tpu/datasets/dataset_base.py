@@ -96,11 +96,21 @@ class DatasetBase:
         return os.path.join(self.processed_path, f"{self.dataset_name}_interaction.npz")
 
     def load_interaction(self):
-        """Load (preprocessing on miss) the interaction frame, k-core filtered."""
+        """Load (preprocessing on miss) the interaction frame, k-core filtered.
+
+        A corrupted cache npz is rebuilt once by re-running preprocess
+        (reference dataset_base.py:193-202 re-downloads on corruption).
+        """
         f = self.interaction_file()
         if not os.path.exists(f):
             self.preprocess()
-        data = get_dataframe_from_npz(f)
+        try:
+            data = get_dataframe_from_npz(f)
+        except Exception:
+            print(f"[warn] corrupted interaction cache {f}; rebuilding")
+            os.remove(f)
+            self.preprocess()
+            data = get_dataframe_from_npz(f)
         if DEFAULT_ORDER_COL in data.columns and self.min_o_c > 0:
             data = filter_user_item_order(data, self.min_u_c, self.min_i_c, self.min_o_c)
         elif self.min_u_c > 0 or self.min_i_c > 0:

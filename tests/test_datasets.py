@@ -98,3 +98,17 @@ def test_seq_utils():
     ds = SeqDataset(seqs, targets, maxlen=4)
     batches = list(ds.batches(2, shuffle=False))
     assert batches[0][0].shape == (2, 4)
+
+
+def test_corrupted_interaction_cache_rebuilds(tmp_path):
+    """A corrupted interaction npz is rebuilt by re-running preprocess
+    (reference dataset_base.py:193-202 semantics)."""
+    from beta_recsys_tpu.datasets.synthetic import Synthetic
+
+    ds = Synthetic(root_dir=str(tmp_path), min_u_c=0, min_i_c=0)
+    first = ds.load_interaction()
+    cache = ds.interaction_file()
+    with open(cache, "wb") as f:
+        f.write(b"not an npz")
+    again = ds.load_interaction()
+    assert len(again) == len(first)
