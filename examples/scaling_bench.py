@@ -26,6 +26,7 @@ def main():
     parser.add_argument("--n_users", type=int, default=100_000)
     parser.add_argument("--n_items", type=int, default=50_000)
     parser.add_argument("--emb_dim", type=int, default=64)
+    parser.add_argument("--sparse", action="store_true", help="sweep the sharded sparse (lazy-Adam, row-sharded tables) trainer instead")
     args = parser.parse_args()
 
     import jax
@@ -57,13 +58,47 @@ def main():
     results = {}
     size = 1
     while size <= n_devices:
-        mesh = make_mesh(n_data=size, n_model=1) if size > 1 else None
         batch = args.batch_per_device * size
-        epoch_fn = make_epoch_fn(
-            model, optimizer, arrays, batch, sampler, donate=False, mesh=mesh
-        )
-        params = model.init_params(jax.random.key(0))
-        opt_state = optimizer.init(params)
+        if args.sparse:
+            # Sharded sparse: row-sharded tables + moments. Use a 2-way model
+            # axis once there are >= 4 devices, else pure data-parallel.
+            import optax
+
+            from beta_recsys_tpu.core.sparse_optim import (
+                init_sparse_state,
+                make_sharded_sparse_epoch_fn,
+                make_sparse_epoch_fn,
+                shard_sparse_params,
+            )
+
+            table_names = list(model.row_tables())
+            if size > 1:
+                n_model = 2 if size >= 4 else 1
+                mesh = make_mesh(n_data=size // n_model, n_model=n_model)
+                epoch_fn = make_sharded_sparse_epoch_fn(
+                    model, arrays, batch, sampler, lr=0.01, mesh=mesh, donate=False
+                )
+                params = shard_sparse_params(
+                    model.init_params(jax.random.key(0)), table_names, mesh
+                )
+            else:
+                epoch_fn = make_sparse_epoch_fn(
+                    model, arrays, batch, sampler, lr=0.01, donate=False
+                )
+                params = model.init_params(jax.random.key(0))
+            opt_state = (
+                init_sparse_state(params, table_names),
+                optax.adam(0.01).init(
+                    {k: v for k, v in params.items() if k not in table_names}
+                ),
+            )
+        else:
+            mesh = make_mesh(n_data=size, n_model=1) if size > 1 else None
+            epoch_fn = make_epoch_fn(
+                model, optimizer, arrays, batch, sampler, donate=False, mesh=mesh
+            )
+            params = model.init_params(jax.random.key(0))
+            opt_state = optimizer.init(params)
         p, o, k, loss = epoch_fn(params, opt_state, jax.random.key(1))
         jax.block_until_ready(loss)
         t0 = time.time()
