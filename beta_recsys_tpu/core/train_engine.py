@@ -500,6 +500,7 @@ class TrainEngine:
                 )
             rule = default_param_rule(data.n_users, data.n_items)
             self.params = shard_params(self.params, self.mesh, rule)
+            self._param_rule = rule
         self.opt_state = self.optimizer.init(self.params)
         neg_sampler = make_negative_sampler(data, model_cfg.get("neg_sampler", "auto"))
         # Mixed precision: model.compute_dtype (or system.compute_dtype)
@@ -833,7 +834,40 @@ class TrainEngine:
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
         self.rng = jax.random.wrap_key_data(jnp.asarray(restored["rng"]))
+        self._replace_on_mesh()
         return self.params
+
+    def _replace_on_mesh(self):
+        """Re-place restored host arrays onto the configured mesh.
+
+        The flax msgpack backend restores single-(host-)device arrays; without
+        re-placement every subsequent sharded step would re-transfer them. The
+        sparse path places tables + moments row-sharded (already-padded saved
+        tables make the pad a no-op); the dense path replays the build rule.
+        """
+        if self.mesh is None:
+            return
+        if self._sparse_optim:
+            from .sparse_optim import shard_sparse_params
+
+            table_names = list(self.model.row_tables())
+            self.params = shard_sparse_params(self.params, table_names, self.mesh)
+            sparse_state, dense_state = self.opt_state
+            moments = {
+                name: tuple(
+                    shard_sparse_params({name: mv}, table_names, self.mesh)[name]
+                    for mv in pair
+                )
+                for name, pair in sparse_state["moments"].items()
+            }
+            self.opt_state = (
+                {"moments": moments, "step": jnp.asarray(sparse_state["step"])},
+                dense_state,
+            )
+        elif getattr(self, "_param_rule", None) is not None:
+            from ..parallel.sharding import shard_params
+
+            self.params = shard_params(self.params, self.mesh, self._param_rule)
 
     def resume_training(self, ckpt_dir=None):
         """Restore full state + early-stop bookkeeping; train() continues.

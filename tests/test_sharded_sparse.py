@@ -194,3 +194,38 @@ def test_padded_tables_never_rank_pad_items(setup):
     ).evaluate(params)
     for k in base:
         assert padded[k] == pytest.approx(base[k], rel=1e-5), k
+
+
+def test_sharded_sparse_checkpoint_resume(setup, tmp_path):
+    """Interrupt a sharded sparse run, resume, and confirm the restored
+    tables are re-placed row-sharded and training continues."""
+    from beta_recsys_tpu.config import Config
+    from beta_recsys_tpu.core.train_engine import TrainEngine
+    from beta_recsys_tpu.models import build_model
+
+    data, _ = setup
+    cfg = Config(
+        {
+            "system": {"root_dir": str(tmp_path), "metrics": ["ndcg"], "k": [10],
+                       "valid_metric": "ndcg", "valid_k": 10, "seed": 5,
+                       "mesh": {"data": 4, "model": 2}},
+            "dataset": {"dataset": "synthetic"},
+            "model": {"model": "MF", "loss": "bpr", "emb_dim": 16,
+                      "batch_size": 128, "optimizer": "adam", "lr": 0.05,
+                      "max_epoch": 4, "max_n_update": 10,
+                      "sparse_optim": True},
+        }
+    )
+    model = build_model(cfg.model, data.n_users, data.n_items)
+    engine = TrainEngine(cfg)
+    engine.build(model, data, data.eval_candidates(data.valid[0]), None)
+    engine.train(verbose=False)
+
+    engine2 = TrainEngine(cfg)
+    engine2.build(model, data, data.eval_candidates(data.valid[0]), None)
+    start = engine2.resume_training(engine.checkpoint_dir)
+    assert start >= 1
+    for k in model.row_tables():
+        assert "model" in str(engine2.params[k].sharding.spec), k
+    result = engine2.train(max_epoch=start + 2, verbose=False)
+    assert np.isfinite(result["valid_metric"])
