@@ -485,28 +485,6 @@ class TrainEngine:
         # Optional device mesh: system.mesh = {"data": N, "model": M} or "auto"
         # (all devices on the data axis). Params are placed per the standard
         # rule (row-sharded embedding tables over "model").
-        self.mesh = None
-        mesh_cfg = sys_cfg.get("mesh")
-        if mesh_cfg:
-            from ..parallel.mesh import make_mesh
-            from ..parallel.sharding import default_param_rule, shard_params
-
-            if mesh_cfg == "auto":
-                self.mesh = make_mesh()
-            else:
-                self.mesh = make_mesh(
-                    n_data=int(mesh_cfg.get("data", 1)),
-                    n_model=int(mesh_cfg.get("model", 1)),
-                )
-            rule = default_param_rule(data.n_users, data.n_items)
-            self.params = shard_params(self.params, self.mesh, rule)
-            self._param_rule = rule
-        self.opt_state = self.optimizer.init(self.params)
-        neg_sampler = make_negative_sampler(data, model_cfg.get("neg_sampler", "auto"))
-        # Mixed precision: model.compute_dtype (or system.compute_dtype)
-        # = "bfloat16" runs the forward/backward on the MXU's native input
-        # type with float32 master params/grads/moments (see _loss_with_dtype).
-        compute_dtype = model_cfg.get("compute_dtype", sys_cfg.get("compute_dtype"))
         kind = getattr(model, "batch_kind", "pairwise")
         # Sparse path builds pairwise BPR batches against model.row_loss; only
         # engage when that is actually the configured objective.
@@ -520,6 +498,35 @@ class TrainEngine:
                 "[warn] sparse_optim requested but the model/loss combination "
                 f"(batch_kind={kind}) has no row protocol; using the dense path"
             )
+        self.mesh = None
+        mesh_cfg = sys_cfg.get("mesh")
+        if mesh_cfg:
+            from ..parallel.mesh import make_mesh
+            from ..parallel.sharding import default_param_rule, shard_params
+
+            if mesh_cfg == "auto":
+                self.mesh = make_mesh()
+            else:
+                self.mesh = make_mesh(
+                    n_data=int(mesh_cfg.get("data", 1)),
+                    n_model=int(mesh_cfg.get("model", 1)),
+                )
+            if not self._sparse_optim:
+                # Sparse runs place tables themselves (padded row shards +
+                # sharded moments) — the generic placement would only cause
+                # full-table device->host->device round trips.
+                rule = default_param_rule(data.n_users, data.n_items)
+                self.params = shard_params(self.params, self.mesh, rule)
+                self._param_rule = rule
+        if not self._sparse_optim:
+            # sparse runs build their own (row-moment, dense) optimizer state;
+            # dense Adam moments over full tables would be allocated for nothing
+            self.opt_state = self.optimizer.init(self.params)
+        neg_sampler = make_negative_sampler(data, model_cfg.get("neg_sampler", "auto"))
+        # Mixed precision: model.compute_dtype (or system.compute_dtype)
+        # = "bfloat16" runs the forward/backward on the MXU's native input
+        # type with float32 master params/grads/moments (see _loss_with_dtype).
+        compute_dtype = model_cfg.get("compute_dtype", sys_cfg.get("compute_dtype"))
         if self._sparse_optim:
             # Lazy-Adam row updates (core/sparse_optim): table-height-independent
             # step cost for production-scale embedding tables. With a mesh the
@@ -545,12 +552,10 @@ class TrainEngine:
                     dense_optimizer=self.optimizer,
                     compute_dtype=compute_dtype,
                 )
-                # Re-place params: row tables padded to the model axis and
+                # Place params: row tables padded to the model axis and
                 # sharded (pad rows are never touched by training or by
                 # candidate eval, which only gathers real ids).
-                self.params = shard_sparse_params(
-                    jax.device_get(self.params), table_names, self.mesh
-                )
+                self.params = shard_sparse_params(self.params, table_names, self.mesh)
             else:
                 self.epoch_fn = make_sparse_epoch_fn(
                     model,

@@ -17,6 +17,21 @@ _lib = None
 _build_attempted = False
 
 
+def _rebuild():
+    subprocess.run(
+        ["make", "-C", _HERE, "-s", "-B"], check=True, capture_output=True, timeout=120
+    )
+
+
+def _bind(lib):
+    lib.alias_build.restype = None
+    lib.alias_sample.restype = None
+    lib.feed_neg_batch.restype = ctypes.c_int
+    lib.kcore_filter.restype = None
+    lib.kcore_filter_distinct.restype = None
+    return lib
+
+
 def _load():
     global _lib, _build_attempted
     if _lib is not None:
@@ -24,22 +39,24 @@ def _load():
     if not os.path.exists(_SO_PATH) and not _build_attempted:
         _build_attempted = True
         try:
-            subprocess.run(
-                ["make", "-C", _HERE, "-s"], check=True, capture_output=True, timeout=120
-            )
+            _rebuild()
         except Exception:
             return None
     if os.path.exists(_SO_PATH):
         try:
-            lib = ctypes.CDLL(_SO_PATH)
-            lib.alias_build.restype = None
-            lib.alias_sample.restype = None
-            lib.feed_neg_batch.restype = ctypes.c_int
-            lib.kcore_filter.restype = None
-            lib.kcore_filter_distinct.restype = None
-            _lib = lib
-        except OSError:
-            return None
+            _lib = _bind(ctypes.CDLL(_SO_PATH))
+        except (OSError, AttributeError):
+            # AttributeError = a stale .so built before a newer entry point
+            # was added (the .so is untracked); rebuild once and retry —
+            # never let a stale binary break the numpy fallback path.
+            if _build_attempted:
+                return None
+            _build_attempted = True
+            try:
+                _rebuild()
+                _lib = _bind(ctypes.CDLL(_SO_PATH))
+            except Exception:
+                return None
     return _lib
 
 
@@ -204,15 +221,11 @@ def kcore_filter_distinct(users, items, pair_ids, uo_ids, n_users, n_items,
     changed = True
     while changed:
         changed = False
-        # distinct counts: first surviving row of each pair/(user,order) group
-        pair_first = np.zeros(n_pairs, dtype=bool)
         alive = np.flatnonzero(keep)
-        first_of_pair = ~pair_first[pair_ids[alive]]
         # np.unique over surviving group ids gives one representative per group
         upairs = np.unique(pair_ids[alive])
         user_items = np.zeros(n_users, dtype=np.int64)
         item_users = np.zeros(n_items, dtype=np.int64)
-        del pair_first, first_of_pair
         # map each surviving pair group back to its (user, item) via any row
         rep = np.zeros(n_pairs, dtype=np.int64)
         rep[pair_ids[alive]] = alive  # last write wins; any row of the group works

@@ -94,20 +94,24 @@ def test_kcore_filter_distinct_matches_pandas_with_duplicates():
 
     rng = np.random.default_rng(3)
     n = 5000
+    # zipf-skewed ids so the peel actually removes rows (uniform ids at this
+    # size never fall below the thresholds and the test would pin nothing)
     df = pd.DataFrame(
         {
-            DEFAULT_USER_COL: rng.integers(0, 80, n),   # duplicates guaranteed
-            DEFAULT_ITEM_COL: rng.integers(0, 70, n),
-            DEFAULT_ORDER_COL: rng.integers(0, 400, n),
+            DEFAULT_USER_COL: rng.zipf(1.3, n) % 300,
+            DEFAULT_ITEM_COL: rng.zipf(1.3, n) % 250,
+            DEFAULT_ORDER_COL: rng.integers(0, 2000, n),
             DEFAULT_RATING_COL: 1.0,
         }
     )
     ref = filter_user_item(df, 8, 8, use_native=False).reset_index(drop=True)
     got = filter_user_item(df, 8, 8, use_native=True).reset_index(drop=True)
+    assert 0 < len(ref) < n  # the filter must actually drop rows
     assert got.equals(ref)
 
-    ref_o = filter_user_item_order(df, 8, 8, 4, use_native=False).reset_index(drop=True)
-    got_o = filter_user_item_order(df, 8, 8, 4, use_native=True).reset_index(drop=True)
+    ref_o = filter_user_item_order(df, 6, 6, 4, use_native=False).reset_index(drop=True)
+    got_o = filter_user_item_order(df, 6, 6, 4, use_native=True).reset_index(drop=True)
+    assert 0 < len(ref_o) < n
     assert got_o.equals(ref_o)
 
 
@@ -125,11 +129,12 @@ def test_kcore_filter_distinct_string_ids():
     n = 2000
     df = pd.DataFrame(
         {
-            DEFAULT_USER_COL: ["u%d" % x for x in rng.integers(0, 40, n)],
-            DEFAULT_ITEM_COL: ["i%d" % x for x in rng.integers(0, 50, n)],
+            DEFAULT_USER_COL: ["u%d" % x for x in rng.zipf(1.3, n) % 150],
+            DEFAULT_ITEM_COL: ["i%d" % x for x in rng.zipf(1.3, n) % 120],
             DEFAULT_RATING_COL: 1.0,
         }
     )
     ref = filter_user_item(df, 6, 6, use_native=False).reset_index(drop=True)
     got = filter_user_item(df, 6, 6, use_native=True).reset_index(drop=True)
+    assert 0 < len(ref) < n
     assert got.equals(ref)
