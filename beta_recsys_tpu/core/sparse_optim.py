@@ -110,16 +110,25 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
         from .train_engine import _padded_order
 
         sparse_state, dense_state = opt_state
-        rng, perm_key = jax.random.split(rng)
+        rng, perm_key, k_neg, k_epoch = jax.random.split(rng, 4)
+        # Form the whole epoch's batches here, NOT in the scan body: in-loop
+        # narrow gathers + threefry cost 100s of µs/step, and scatter operands
+        # derived from in-loop gathers bounce through scratch memory (see
+        # make_epoch_fn). With xs batches the row updates run at O(batch) cost.
         order = _padded_order(jax.random.permutation(perm_key, n), padded_size)
-        order = order.reshape(num_batches, batch_size)
+        u_all = users[order]
+        pos_all = items[order]
+        neg_all = neg_sampler(k_neg, u_all, (padded_size,))
+        xs = (
+            u_all.reshape(num_batches, batch_size),
+            pos_all.reshape(num_batches, batch_size),
+            neg_all.reshape(num_batches, batch_size),
+            jax.random.split(k_epoch, num_batches),
+        )
 
-        def step(carry, batch_order):
-            params, sparse_state, dense_state, rng = carry
-            rng, k_neg, k_loss = jax.random.split(rng, 3)
-            u = users[batch_order]
-            pos = items[batch_order]
-            neg = neg_sampler(k_neg, u, (batch_size,))
+        def step(carry, x):
+            params, sparse_state, dense_state = carry
+            u, pos, neg, k_loss = x
             batch = {"users": u, "pos_items": pos, "neg_items": neg}
             role_ids = {
                 "users": u,
@@ -165,10 +174,10 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
             )
             dense_params = optax.apply_updates(dense_params, updates)
             params = {**params, **dense_params}
-            return (params, sparse_state, dense_state, rng), loss
+            return (params, sparse_state, dense_state), loss
 
-        (params, sparse_state, dense_state, rng), losses = jax.lax.scan(
-            step, (params, sparse_state, dense_state, rng), order
+        (params, sparse_state, dense_state), losses = jax.lax.scan(
+            step, (params, sparse_state, dense_state), xs
         )
         return params, (sparse_state, dense_state), rng, jnp.mean(losses)
 
@@ -343,25 +352,30 @@ def make_sharded_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, l
 
     def epoch_fn(params, opt_state, rng):
         sparse_state, dense_state = opt_state
-        rng, perm_key = jax.random.split(rng)
+        rng, perm_key, k_neg, k_epoch = jax.random.split(rng, 4)
+        # Whole-epoch batch formation, as in make_sparse_epoch_fn: xs batches
+        # keep the sharded step body pure compute + collectives.
         order = _padded_order(jax.random.permutation(perm_key, n), padded_size)
-        order = order.reshape(num_batches, batch_size)
+        u_all = users[order]
+        pos_all = items[order]
+        neg_all = neg_sampler(k_neg, u_all, (padded_size,))
+        xs = (
+            u_all.reshape(num_batches, batch_size),
+            pos_all.reshape(num_batches, batch_size),
+            neg_all.reshape(num_batches, batch_size),
+            jax.random.split(k_epoch, num_batches),
+        )
 
-        def step(carry, batch_order):
-            params, moments, step_i, dense_state, rng = carry
-            rng, k_neg, k_loss = jax.random.split(rng, 3)
-            u = users[batch_order]
-            pos = items[batch_order]
-            neg = neg_sampler(k_neg, u, (batch_size,))
+        def step(carry, x):
+            params, moments, step_i, dense_state = carry
+            u, pos, neg, k_loss = x
             params, moments, step_i, dense_state, loss = sharded_step(
                 params, moments, step_i, dense_state, u, pos, neg, k_loss
             )
-            return (params, moments, step_i, dense_state, rng), loss
+            return (params, moments, step_i, dense_state), loss
 
-        init = (params, sparse_state["moments"], sparse_state["step"], dense_state, rng)
-        (params, moments, step_i, dense_state, rng), losses = jax.lax.scan(
-            step, init, order
-        )
+        init = (params, sparse_state["moments"], sparse_state["step"], dense_state)
+        (params, moments, step_i, dense_state), losses = jax.lax.scan(step, init, xs)
         new_state = ({"moments": moments, "step": step_i}, dense_state)
         return params, new_state, rng, jnp.mean(losses)
 

