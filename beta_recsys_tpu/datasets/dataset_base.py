@@ -23,6 +23,18 @@ from .data_split import (
 
 default_root_dir = os.path.abspath(".")
 
+# split_type -> constructor attribute holding the team-published archive URL
+# (reference beta_rec/datasets/dataset_base.py:502-907: each load_* may fetch a
+# pre-built split from OneDrive before falling back to building locally).
+_PROCESSED_URL_ATTRS = {
+    "leave_one_out": "processed_leave_one_out_url",
+    "leave_one_basket": "processed_leave_one_basket_url",
+    "random": "processed_random_split_url",
+    "random_basket": "processed_random_basket_split_url",
+    "temporal": "processed_temporal_split_url",
+    "temporal_basket": "processed_temporal_basket_split_url",
+}
+
 
 class DatasetBase:
     """Base class for dataset adapters."""
@@ -140,6 +152,8 @@ class DatasetBase:
             test_rate=test_rate, random=random, n_negative=n_negative, by_user=by_user
         )
         path = os.path.join(self.processed_path, split_type, param_dir)
+        if download and not os.path.exists(os.path.join(path, "train.npz")):
+            self.download_processed_split(split_type, path)
         if not os.path.exists(os.path.join(path, "train.npz")):
             self._make_split(
                 split_type,
@@ -150,6 +164,37 @@ class DatasetBase:
                 n_test=n_test,
             )
         return load_split_data(path, n_test=n_test)
+
+    def download_processed_split(self, split_type, dest_dir):
+        """Fetch the team-published pre-built split archive for ``split_type``.
+
+        Reference parity: beta_rec/datasets/dataset_base.py:502-907 — every
+        ``load_*(download=True)`` first tries the adapter's
+        ``processed_*_url`` (a OneDrive share link) before building the split
+        locally. Failures (no network, no URL, bad archive) are treated as
+        cache misses. Returns True iff ``dest_dir/train.npz`` exists after.
+        """
+        url = getattr(self, _PROCESSED_URL_ATTRS[split_type], "")
+        if not url:
+            return False
+        from ..utils.onedrive import OneDrive
+
+        ensure_dir(dest_dir)
+        try:
+            OneDrive(url=url, path=dest_dir).download()
+        except Exception as e:
+            print(f"[warn] processed-split download failed ({e}); building locally")
+            return False
+        target = os.path.join(dest_dir, "train.npz")
+        if not os.path.exists(target):
+            # archives may nest the split files one folder deep; flatten
+            for sub in sorted(os.listdir(dest_dir)):
+                nested = os.path.join(dest_dir, sub)
+                if os.path.isdir(nested) and os.path.exists(os.path.join(nested, "train.npz")):
+                    for f in os.listdir(nested):
+                        os.replace(os.path.join(nested, f), os.path.join(dest_dir, f))
+                    break
+        return os.path.exists(target)
 
     def make_leave_one_out(self, data=None, random=False, n_negative=100, n_test=10):
         self._make_split("leave_one_out", data, 0, random, n_negative, False, n_test)

@@ -20,6 +20,15 @@ from .dataset_base import DatasetBase
 
 DUNNHUMBY_URL = "https://www.dunnhumby.com/source-files/"
 
+# Team-published processed splits (reference dunnhumby.py:20-46), fetched by
+# load_*(download=True) via DatasetBase.download_processed_split.
+DUNNHUMBY_LEAVE_ONE_BASKET_URL = "https://1drv.ms/u/s!AjMahLyQeZqugXCn99mGZw4uHaSg?e=GhmyCa"
+DUNNHUMBY_LEAVE_ONE_OUT_URL = "https://1drv.ms/u/s!AjMahLyQeZqugXK8xN12i0O4K-dd?e=OG0Dl3"
+DUNNHUMBY_RANDOM_SPLIT_URL = "https://1drv.ms/u/s!AjMahLyQeZqugXRLlZbQnYJbjY1d?e=aQ9LrF"
+DUNNHUMBY_RANDOM_BASKET_SPLIT_URL = "https://1drv.ms/u/s!AjMahLyQeZqugXYbw7U3_M363CpM?e=DuyT3a"
+DUNNHUMBY_TEMPORAL_SPLIT_URL = "https://1drv.ms/u/s!AjMahLyQeZqugXgd1VE2sX089Udc?e=S2eM7Q"
+DUNNHUMBY_TEMPORAL_BASKET_SPLIT_URL = "https://1drv.ms/u/s!AjMahLyQeZqugXrmhlEvrEzYiX42?e=1RNidC"
+
 
 class Dunnhumby(DatasetBase):
     def __init__(self, dataset_name="dunnhumby", min_u_c=0, min_i_c=3, min_o_c=0, root_dir=None):
@@ -30,6 +39,12 @@ class Dunnhumby(DatasetBase):
             min_o_c=min_o_c,
             root_dir=root_dir,
             url=DUNNHUMBY_URL,
+            processed_leave_one_basket_url=DUNNHUMBY_LEAVE_ONE_BASKET_URL,
+            processed_leave_one_out_url=DUNNHUMBY_LEAVE_ONE_OUT_URL,
+            processed_random_split_url=DUNNHUMBY_RANDOM_SPLIT_URL,
+            processed_random_basket_split_url=DUNNHUMBY_RANDOM_BASKET_SPLIT_URL,
+            processed_temporal_split_url=DUNNHUMBY_TEMPORAL_SPLIT_URL,
+            processed_temporal_basket_split_url=DUNNHUMBY_TEMPORAL_BASKET_SPLIT_URL,
             tips=(
                 "Dunnhumby requires manual download: place transaction_data.csv "
                 "(from 'The Complete Journey') under the raw directory."

@@ -21,6 +21,11 @@ from .dataset_base import DatasetBase
 
 INSTACART_URL = "https://www.kaggle.com/c/instacart-market-basket-analysis/data"
 
+# Team-published processed splits (reference instacart.py:19-30).
+INSTACART_LEAVE_ONE_OUT_URL = "https://1drv.ms/u/s!AjMahLyQeZquggLQynzcCWfNUdIg?e=HDhUjL"
+INSTACART_RANDOM_SPLIT_URL = "https://1drv.ms/u/s!AjMahLyQeZqugX4W4zLO6Jkx8P-W?e=oKymnV"
+INSTACART_TEMPORAL_SPLIT_URL = "https://1drv.ms/u/s!AjMahLyQeZquggAblxVFSYeu3nzh?e=pzBaAa"
+
 
 class Instacart(DatasetBase):
     sample_rate = 1.0
@@ -33,6 +38,9 @@ class Instacart(DatasetBase):
             min_o_c=min_o_c,
             root_dir=root_dir,
             url=INSTACART_URL,
+            processed_leave_one_out_url=INSTACART_LEAVE_ONE_OUT_URL,
+            processed_random_split_url=INSTACART_RANDOM_SPLIT_URL,
+            processed_temporal_split_url=INSTACART_TEMPORAL_SPLIT_URL,
             tips=(
                 "Instacart requires manual download (kaggle instacart-market-basket-analysis); "
                 "place order_products__prior.csv, order_products__train.csv, orders.csv in raw/."
@@ -88,4 +96,6 @@ class Instacart_25(Instacart):
         super().__init__(
             dataset_name=dataset_name, min_u_c=min_u_c, min_i_c=min_i_c,
             min_o_c=min_o_c, root_dir=root_dir,
+            processed_random_split_url=INSTACART_RANDOM_SPLIT_URL,
+            processed_temporal_split_url=INSTACART_TEMPORAL_SPLIT_URL,
         )

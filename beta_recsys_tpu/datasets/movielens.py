@@ -24,6 +24,15 @@ ML_1M_URL = "http://files.grouplens.org/datasets/movielens/ml-1m.zip"
 ML_10M_URL = "http://files.grouplens.org/datasets/movielens/ml-10m.zip"
 ML_25M_URL = "http://files.grouplens.org/datasets/movielens/ml-25m.zip"
 
+# Team-published processed-split archives (reference movielens.py:17-33);
+# used by load_*(download=True) via DatasetBase.download_processed_split.
+ML_100K_LEAVE_ONE_OUT_URL = "https://1drv.ms/u/s!AjMahLyQeZqugU-siALoN5y9eaCq?e=jsgoOB"
+ML_100K_RANDOM_URL = "https://1drv.ms/u/s!AjMahLyQeZqugVD4bv1iR6KgZn63?e=89eToa"
+ML_100K_TEMPORAL_URL = "https://1drv.ms/u/s!AjMahLyQeZqugVG_vS_DggoFaySY?e=HpcD9b"
+ML_1M_LEAVE_ONE_OUT_URL = "https://1drv.ms/u/s!AjMahLyQeZqugVMZ5TK2sTGBUSr0?e=32CmFJ"
+ML_1M_RANDOM_URL = "https://1drv.ms/u/s!AjMahLyQeZqugVW2Bl1A1kORNuTY?e=iEabat"
+ML_1M_TEMPORAL_URL = "https://1drv.ms/u/s!AjMahLyQeZqugVf8PRlo82hSnblP?e=VpZa0L"
+
 _COLS = [DEFAULT_USER_COL, DEFAULT_ITEM_COL, DEFAULT_RATING_COL, DEFAULT_TIMESTAMP_COL]
 
 
@@ -37,6 +46,9 @@ class Movielens_100k(DatasetBase):
             min_i_c=min_i_c,
             root_dir=root_dir,
             url=ML_100K_URL,
+            processed_leave_one_out_url=ML_100K_LEAVE_ONE_OUT_URL,
+            processed_random_split_url=ML_100K_RANDOM_URL,
+            processed_temporal_split_url=ML_100K_TEMPORAL_URL,
         )
 
     def preprocess(self):
@@ -85,6 +97,9 @@ class Movielens_1m(DatasetBase):
         super().__init__(
             dataset_name=dataset_name, min_u_c=min_u_c, min_i_c=min_i_c,
             root_dir=root_dir, url=ML_1M_URL,
+            processed_leave_one_out_url=ML_1M_LEAVE_ONE_OUT_URL,
+            processed_random_split_url=ML_1M_RANDOM_URL,
+            processed_temporal_split_url=ML_1M_TEMPORAL_URL,
         )
 
     def preprocess(self):

@@ -21,6 +21,11 @@ from .dataset_base import DatasetBase
 
 TAFENG_URL = "https://www.kaggle.com/chiranjivdas09/ta-feng-grocery-dataset"
 
+# Team-published processed splits (reference tafeng.py:15-21).
+TAFENG_LEAVE_ONE_OUT_URL = "https://1drv.ms/u/s!AjMahLyQeZqugWw1iWQHgI2NNbuM?e=LwEbEc"
+TAFENG_RANDOM_SPLIT_URL = "https://1drv.ms/u/s!AjMahLyQeZqugWbXQ__YWqF9v_7x?e=NjX5VQ"
+TAFENG_TEMPORAL_SPLIT_URL = "https://1drv.ms/u/s!AjMahLyQeZqugWp1Y1JefMXZr0ng?e=OoAgwD"
+
 
 class Tafeng(DatasetBase):
     def __init__(self, dataset_name="tafeng", min_u_c=0, min_i_c=3, min_o_c=0, root_dir=None):
@@ -31,6 +36,9 @@ class Tafeng(DatasetBase):
             min_o_c=min_o_c,
             root_dir=root_dir,
             url=TAFENG_URL,
+            processed_leave_one_out_url=TAFENG_LEAVE_ONE_OUT_URL,
+            processed_random_split_url=TAFENG_RANDOM_SPLIT_URL,
+            processed_temporal_split_url=TAFENG_TEMPORAL_SPLIT_URL,
             tips="Ta-Feng requires manual download (kaggle); place train.txt/test.txt in raw/.",
         )
 

@@ -39,12 +39,14 @@ class Experiment:
 
     def load_pretrained_model(self, model_dir):
         """Load each model from a saved checkpoint dir and score the test sets
-        (reference experiment.py:89-96)."""
+        — no training runs (reference experiment.py:89-96 semantics: load then
+        test). Recommender.load rebuilds the engine cold from checkpoint
+        metadata; ``data`` is passed so artifact-needing models can build
+        their adjacency/contexts."""
         rows = []
         for data in self.datasets:
             for model in self.models:
-                model.train(data)  # builds engine + artifacts
-                model.load(model_dir)
+                model.load(model_dir, data=data)
                 rows.append(model.test())
         return rows
 

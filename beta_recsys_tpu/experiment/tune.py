@@ -24,7 +24,10 @@ def expand_grid(tunable):
     """Expand tunable specs into a list of {name: value} dicts.
 
     Spec types: {"name", "type": "choice", "values": [...]} (grid) — the only
-    type the reference's configs use; ranges are sampled as an N-point grid.
+    type the reference's configs use; ranges become an N-point grid. A range
+    spanning >=1 decade with positive endpoints (the lr/reg case — Ray would
+    sample it log-uniform) is expanded GEOMETRICALLY so small magnitudes are
+    covered; set "scale": "linear"/"log" to override the heuristic.
     """
     axes = []
     for spec in tunable:
@@ -34,7 +37,16 @@ def expand_grid(tunable):
         elif spec.get("type") == "range":
             lo, hi = spec["values"] if "values" in spec else (spec["min"], spec["max"])
             n = int(spec.get("n", 5))
-            values = [lo + (hi - lo) * i / max(n - 1, 1) for i in range(n)]
+            scale = spec.get("scale")
+            if scale is None:
+                scale = "log" if (lo > 0 and hi / lo >= 10) else "linear"
+            if scale == "log":
+                if lo <= 0:
+                    raise ValueError(f"log-scale range needs positive endpoints: {spec}")
+                ratio = hi / lo
+                values = [lo * ratio ** (i / max(n - 1, 1)) for i in range(n)]
+            else:
+                values = [lo + (hi - lo) * i / max(n - 1, 1) for i in range(n)]
         else:
             raise ValueError(f"Unknown tunable type {spec}")
         axes.append([(name, v) for v in values])
