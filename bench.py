@@ -326,6 +326,14 @@ def main(full=False):
 
 
 if __name__ == "__main__":
+    import subprocess
     import sys
 
+    if "--parity" in sys.argv:
+        # quality-parity harness (structured synthetic + real data when
+        # present) — writes PARITY_RESULTS.md; see examples/parity_check.py
+        extra = [a for a in sys.argv[1:] if a != "--parity"]
+        raise SystemExit(
+            subprocess.call([sys.executable, "examples/parity_check.py"] + extra)
+        )
     main(full="--full" in sys.argv)

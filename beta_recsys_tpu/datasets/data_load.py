@@ -28,11 +28,12 @@ from .simple_adapters import (
     Yelp,
     YooChoose,
 )
-from .synthetic import Synthetic
+from .synthetic import Synthetic, SyntheticStructured
 from .tafeng import Tafeng
 
 DATASET_REGISTRY = {
     "synthetic": Synthetic,
+    "synthetic_structured": SyntheticStructured,
     "random": Synthetic,
     "ml_100k": Movielens_100k,
     "ml_1m": Movielens_1m,

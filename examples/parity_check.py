@@ -1,0 +1,313 @@
+"""Quality-parity harness: reproduce BASELINE.md metric targets.
+
+Two tiers (VERDICT r2 #1 — the unmet north star):
+
+1. **Real data** (``--real``): if a dataset's raw files are on disk (or
+   ``--download`` succeeds), run the full split pipeline + training and
+   compare ndcg@10/recall@10 against the reference notebook numbers recorded
+   in BASELINE.md. One command, once data is present:
+
+       python examples/parity_check.py --real --models MF,SASRec
+
+   Raw-data locations (zero-egress environments must place these manually):
+       datasets/ml_100k/raw/ml-100k/u.data
+       datasets/dunnhumby/raw/transaction_data.csv
+
+2. **Structured synthetic** (default, always runnable): a power-law,
+   block-structured world with planted preference + sequence dynamics
+   (beta_recsys_tpu/datasets/synthetic.py:generate_structured_data). Models
+   must beat the closed-form random-ranking baseline by a wide margin; the
+   per-epoch valid curves catch learning-dynamics regressions that uniform
+   noise cannot. Results (mean +/- std over seeds) land in PARITY_RESULTS.md.
+
+Reference targets (BASELINE.md, from /root/reference/examples/*.ipynb output
+cells): MF ml-100k ndcg@10 0.0855 / recall@10 0.1828; SASRec ml-100k
+ndcg@10 0.0787 / recall@10 0.1743.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from beta_recsys_tpu.config import load_config
+
+# Reference parity targets: BASELINE.md quality table.
+REFERENCE_TARGETS = {
+    ("MF", "ml_100k"): {"ndcg@10": 0.0855, "recall@10": 0.1828},
+    ("SASRec", "ml_100k"): {"ndcg@10": 0.0787, "recall@10": 0.1743},
+    ("SASRec", "dunnhumby"): {"ndcg@10": 0.4975, "recall@10": 0.0558},
+    ("NCF", "ml_100k"): {},      # no notebook number; recorded for the table
+    ("LightGCN", "ml_100k"): {},
+}
+
+MODEL_SPECS = {
+    # config file + overrides that mirror the reference notebooks' actual run
+    # settings (the shipped sasrec_default.json lr=0.5 is the config-file
+    # value; the notebooks train SASRec at the paper's 0.001).
+    "MF": dict(config="configs/mf_default.json", overrides={}),
+    "NCF": dict(config="configs/ncf_default.json", overrides={}),
+    "LightGCN": dict(config="configs/lightgcn_default.json", overrides={}),
+    "SASRec": dict(config="configs/sasrec_default.json",
+                   overrides={"lr": 0.001, "maxlen": 100, "l2_emb": 0.0}),
+}
+
+
+def random_baseline(n_negative, ks=(10,)):
+    """Closed-form expected metrics for a random ranking of 1 positive among
+    (1 + n_negative) candidates."""
+    n = n_negative + 1
+    out = {}
+    for k in ks:
+        ranks = np.arange(1, k + 1)
+        out[f"recall@{k}"] = k / n
+        out[f"ndcg@{k}"] = float(np.sum(1.0 / np.log2(ranks + 1)) / n)
+        out[f"precision@{k}"] = 1.0 / n
+        out[f"map@{k}"] = float(np.sum(1.0 / ranks) / n)
+    return out
+
+
+def build_recommender(model_name, config_overrides):
+    import beta_recsys_tpu.recommenders as rec
+
+    cls = {"MF": rec.MatrixFactorization, "NCF": rec.NeuCF,
+           "LightGCN": rec.LightGCN, "SASRec": rec.SASRec}[model_name]
+    spec = MODEL_SPECS[model_name]
+    overrides = {**spec["overrides"], **config_overrides}
+    return cls(load_config(spec["config"], overrides=overrides))
+
+
+def load_dataset(dataset_name, n_test, n_negative, root_dir, download=False):
+    """Raw -> split -> (BaseData-compatible frames); None if raw data absent."""
+    from beta_recsys_tpu.datasets.data_load import DATASET_REGISTRY
+
+    ds = DATASET_REGISTRY[dataset_name](root_dir=root_dir)
+    try:
+        return ds.load_leave_one_out(n_test=n_test, n_negative=n_negative,
+                                     download=download)
+    except Exception as e:
+        print(f"[skip] {dataset_name}: {e}")
+        return None
+
+
+def run_one(model_name, split, seed, n_test, dataset_name, root_dir):
+    from beta_recsys_tpu.data.base_data import BaseData
+    from beta_recsys_tpu.data.sequential_data import SequentialData
+
+    data_cls = SequentialData if model_name in ("SASRec",) else BaseData
+    data = data_cls(split)
+    rec = build_recommender(
+        model_name,
+        {"root_dir": root_dir, "seed": seed, "dataset": dataset_name,
+         "n_test": n_test, "result_file": f"parity_{model_name}.csv"},
+    )
+    t0 = time.time()
+    train_result = rec.train(data)
+    train_sec = time.time() - t0
+    test_row = rec.test()
+    curve = [
+        {"epoch": h["epoch"], "ndcg@10": h["valid"].get("ndcg@10")}
+        for h in rec.engine.bookkeeper.history
+    ]
+    return {
+        "model": model_name,
+        "dataset": dataset_name,
+        "seed": seed,
+        "valid_best": train_result["valid_metric"],
+        "best_epoch": train_result.get("best_epoch"),
+        "test": {k: v for k, v in test_row.items() if "@" in k},
+        "train_sec": train_sec,
+        "curve": curve,
+    }
+
+
+def aggregate(runs):
+    """mean +/- std of each test metric over seeds."""
+    keys = runs[0]["test"].keys()
+    return {
+        k: (float(np.mean([r["test"][k] for r in runs])),
+            float(np.std([r["test"][k] for r in runs])))
+        for k in keys
+    }
+
+
+def fmt_pm(mean, std):
+    return f"{mean:.4f} ± {std:.4f}"
+
+
+def write_report(path, synth_results, real_results, n_negative, seeds, meta):
+    rb = random_baseline(n_negative)
+    lines = [
+        "# PARITY_RESULTS — quality parity vs BASELINE.md",
+        "",
+        f"Generated by `python examples/parity_check.py` on {time.strftime('%Y-%m-%d %H:%M:%S')} "
+        f"({meta['device']}); {len(seeds)} seeds {list(seeds)}; "
+        f"leave-one-out split, {n_negative} sampled negatives per positive.",
+        "",
+    ]
+
+    if real_results:
+        lines += [
+            "## Real data vs reference notebook numbers",
+            "",
+            "| Model | Dataset | Metric | Ours (mean ± std) | Reference | Status |",
+            "|---|---|---|---|---|---|",
+        ]
+        for (model, dataset), agg in real_results.items():
+            targets = REFERENCE_TARGETS.get((model, dataset), {})
+            for metric in ("ndcg@10", "recall@10"):
+                if metric not in agg:
+                    continue
+                mean, std = agg[metric]
+                ref = targets.get(metric)
+                if ref is None:
+                    status = "recorded (no reference number)"
+                else:
+                    # within run-to-run variance: ±max(3σ, 10% of ref)
+                    tol = max(3 * std, 0.1 * ref)
+                    status = "PASS" if mean >= ref - tol else f"BELOW (tol ±{tol:.4f})"
+                lines.append(
+                    f"| {model} | {dataset} | {metric} | {fmt_pm(mean, std)} | "
+                    f"{ref if ref is not None else '—'} | {status} |"
+                )
+        lines.append("")
+    else:
+        lines += [
+            "## Real data",
+            "",
+            "No raw datasets found on disk and downloads unavailable (zero-egress",
+            "environment). To produce the real-data parity table, place the raw",
+            "files (see module docstring) and run:",
+            "",
+            "    python examples/parity_check.py --real --models MF,SASRec",
+            "",
+        ]
+
+    lines += [
+        "## Structured synthetic (power-law + planted blocks + Markov sequences)",
+        "",
+        "`synthetic_structured` is ml-100k shaped (943 users × 1682 items ×",
+        "100k interactions, zipf popularity/activity) with learnable structure;",
+        "columns show the trained model vs the closed-form random-ranking",
+        "baseline. A learning regression shows up as lift collapse.",
+        "",
+        "| Model | Metric | Trained (mean ± std) | Random baseline | Lift |",
+        "|---|---|---|---|---|",
+    ]
+    for model, agg in synth_results.items():
+        for metric in ("ndcg@10", "recall@10", "precision@10", "map@10"):
+            if metric not in agg:
+                continue
+            mean, std = agg[metric]
+            base = rb[metric]
+            lines.append(
+                f"| {model} | {metric} | {fmt_pm(mean, std)} | {base:.4f} | "
+                f"{mean / base:.1f}× |"
+            )
+    lines.append("")
+
+    lines += ["## Valid-metric curves (ndcg@10 by epoch, seed 0)", ""]
+    for model, curve in meta["curves"].items():
+        pts = " ".join(
+            f"{c['epoch']}:{c['ndcg@10']:.3f}" for c in curve if c["ndcg@10"] is not None
+        )
+        lines.append(f"- **{model}**: {pts}")
+    lines += [
+        "",
+        "## Wall-clock",
+        "",
+        "| Model | Dataset | Train (s, incl. compile) |",
+        "|---|---|---|",
+    ]
+    for row in meta["timing"]:
+        lines.append(f"| {row['model']} | {row['dataset']} | {row['train_sec']:.1f} |")
+    lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {path}")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--models", default="MF,NCF,LightGCN,SASRec")
+    ap.add_argument("--out", default="PARITY_RESULTS.md")
+    ap.add_argument("--root-dir", default="parity_runs")
+    ap.add_argument("--seeds", default="0,1,2")
+    ap.add_argument("--n-test", type=int, default=1,
+                    help="negative-sampled eval copies (reference default 10)")
+    ap.add_argument("--n-negative", type=int, default=100)
+    ap.add_argument("--real", action="store_true",
+                    help="also run real datasets when raw files are present")
+    ap.add_argument("--real-only", action="store_true")
+    ap.add_argument("--download", action="store_true",
+                    help="attempt raw/processed downloads for real datasets")
+    ap.add_argument("--max-epoch", type=int, default=None,
+                    help="cap epochs (CI/smoke); default = config values")
+    args = ap.parse_args()
+
+    import jax
+
+    # First compile of each whole-epoch scan is minutes on the remote-compile
+    # TPU path; the persistent cache makes repeat seeds/models start instantly.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    models = [m.strip() for m in args.models.split(",") if m.strip()]
+    seeds = [int(s) for s in args.seeds.split(",")]
+    os.makedirs(args.root_dir, exist_ok=True)
+    if args.max_epoch is not None:
+        for spec in MODEL_SPECS.values():
+            spec["overrides"]["max_epoch"] = args.max_epoch
+
+    meta = {"device": str(jax.devices()[0].platform), "curves": {}, "timing": []}
+    synth_results, real_results = {}, {}
+
+    if not args.real_only:
+        split = load_dataset("synthetic_structured", args.n_test, args.n_negative,
+                             args.root_dir)
+        for model in models:
+            runs = []
+            for seed in seeds:
+                r = run_one(model, split, seed, args.n_test,
+                            "synthetic_structured", args.root_dir)
+                runs.append(r)
+                print(f"[synthetic] {model} seed={seed}: "
+                      f"{json.dumps(r['test'])} ({r['train_sec']:.1f}s)")
+            synth_results[model] = aggregate(runs)
+            meta["curves"][model] = runs[0]["curve"]
+            meta["timing"].append({"model": model, "dataset": "synthetic_structured",
+                                   "train_sec": float(np.mean([r["train_sec"] for r in runs]))})
+
+    if args.real or args.real_only:
+        real_n_test = max(args.n_test, 10)  # reference notebooks use 10 copies
+        for dataset in ("ml_100k", "dunnhumby"):
+            wanted = [m for m in models if (m, dataset) in REFERENCE_TARGETS]
+            if not wanted:
+                continue
+            split = load_dataset(dataset, real_n_test, args.n_negative,
+                                 args.root_dir, download=args.download)
+            if split is None:
+                continue
+            for model in wanted:
+                runs = []
+                for seed in seeds:
+                    r = run_one(model, split, seed, real_n_test, dataset, args.root_dir)
+                    runs.append(r)
+                    print(f"[{dataset}] {model} seed={seed}: {json.dumps(r['test'])}")
+                real_results[(model, dataset)] = aggregate(runs)
+                meta["timing"].append({"model": model, "dataset": dataset,
+                                       "train_sec": float(np.mean([x["train_sec"] for x in runs]))})
+
+    write_report(args.out, synth_results, real_results, args.n_negative, seeds, meta)
+
+
+if __name__ == "__main__":
+    main()
