@@ -46,16 +46,35 @@ def _synthetic_ml100k():
     return BaseData((train, [], []), intersect=False)
 
 
-def _time_epochs(epoch_fn, params, opt_state, rng_key, n_epochs=5):
+def _rtt():
+    """One trivial-fetch round trip (the axon tunnel's fixed latency)."""
     import jax
+    import jax.numpy as jnp
 
+    f = jax.jit(lambda x: x + 1)
+    float(f(jnp.ones(())))
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        float(f(jnp.ones(())))
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def _time_epochs(epoch_fn, params, opt_state, rng_key, n_epochs=5):
+    """Honest epoch timing. CRITICAL: jax.block_until_ready does NOT block on
+    the axon-tunneled TPU backend (verified round 3: 0.000s for a program
+    whose value fetch took 93s) — only a VALUE FETCH synchronizes. Epochs are
+    chained (each consumes the previous outputs) and the final loss value is
+    fetched; one tunnel round trip is subtracted."""
     p, o, k, loss = epoch_fn(params, opt_state, rng_key)  # compile
-    jax.block_until_ready(loss)
+    float(loss)
+    rtt = _rtt()
     t0 = time.time()
     for _ in range(n_epochs):
         p, o, k, loss = epoch_fn(p, o, k)
-    jax.block_until_ready(loss)
-    return (time.time() - t0) / n_epochs
+    float(loss)  # forces the whole chain
+    return max(time.time() - t0 - rtt, 1e-9) / n_epochs
 
 
 def bench_pairwise(data, model_cfg, model_cls, n_epochs=5, compute_dtype=None):
@@ -208,12 +227,13 @@ def bench_sparse_large(n_users=1_000_000, n_items=100_000, n_inter=2_000_000, n_
              optax.adam(0.01).init({k: v for k, v in params.items()
                                     if k not in table_names}))
     p, s, k, loss = epoch_fn(params, state, jax.random.key(1))
-    jax.block_until_ready(loss)
+    float(loss)  # value fetch: block_until_ready does not block on axon
+    rtt = _rtt()
     t0 = time.time()
     for _ in range(n_epochs):
         p, s, k, loss = epoch_fn(p, s, k)
-    jax.block_until_ready(loss)
-    dt = (time.time() - t0) / n_epochs
+    float(loss)
+    dt = max(time.time() - t0 - rtt, 1e-9) / n_epochs
     return n_inter / dt, dt
 
 

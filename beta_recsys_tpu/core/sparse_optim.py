@@ -86,7 +86,7 @@ def init_sparse_state(params, table_names):
     return {"moments": moments, "step": jnp.zeros((), jnp.int32)}
 
 
-def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense_optimizer=None, donate=True, compute_dtype=None):
+def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense_optimizer=None, donate=True, compute_dtype=None, row_update="auto"):
     """Whole-epoch trainer with lazy-Adam row updates for embedding tables.
 
     The model must provide:
@@ -95,6 +95,18 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
       row_loss(rows, dense_params, batch, rng) -> scalar, where ``rows`` maps
         table_name -> the gathered (B, d) rows.
     Non-table params ("dense") update with ``dense_optimizer`` (default: adam).
+
+    ``row_update`` selects how 2-D table rows are written back:
+      "fused" — the Pallas fused_rowadam kernel (ops/pallas/rowadam.py):
+        round-3 profiling showed ONE XLA scatter of 16k x 64 rows costs
+        ~1.2 ms on v5e (and the update needs three per table); the kernel
+        replaces gathers+3 scatters with pipelined row DMAs. Table minor dims
+        are padded to 128 INSIDE the epoch (Mosaic row-DMA alignment; zero
+        pad columns receive zero grads so they stay zero) and trimmed back
+        before returning.
+      "xla" — pure scatter-add path (sparse_adam_row_update).
+      "auto" — "fused" on TPU backends, "xla" elsewhere.
+    1-D tables (bias vectors) always use the XLA path.
     """
     users = jnp.asarray(train_arrays.users)
     items = jnp.asarray(train_arrays.items)
@@ -105,6 +117,13 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
     table_roles = model.row_tables()
     table_names = list(table_roles)
     dense_optimizer = dense_optimizer or optax.adam(lr)
+    if row_update == "auto":
+        row_update = "fused" if jax.default_backend() == "tpu" else "xla"
+
+    def _pad_cols(t):
+        if t.ndim != 2 or t.shape[1] % 128 == 0:
+            return t
+        return jnp.pad(t, ((0, 0), (0, (-t.shape[1]) % 128)))
 
     def epoch_fn(params, opt_state, rng):
         from .train_engine import _padded_order
@@ -125,6 +144,18 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
             neg_all.reshape(num_batches, batch_size),
             jax.random.split(k_epoch, num_batches),
         )
+
+        orig_width = {k: params[k].shape[-1] if params[k].ndim == 2 else None
+                      for k in table_names}
+        if row_update == "fused":
+            # one-time per epoch: pad 2-D tables + moments to 128-wide rows
+            params = {k: (_pad_cols(v) if k in table_names else v)
+                      for k, v in params.items()}
+            moments0 = {
+                k: (_pad_cols(m0), _pad_cols(v0))
+                for k, (m0, v0) in sparse_state["moments"].items()
+            }
+            sparse_state = {"moments": moments0, "step": sparse_state["step"]}
 
         def step(carry, x):
             params, sparse_state, dense_state = carry
@@ -158,13 +189,26 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
             )
 
             new_step = sparse_state["step"] + 1
+            step_f = new_step.astype(jnp.float32)
             moments = dict(sparse_state["moments"])
             for name in table_names:
                 m, v = moments[name]
-                table, m, v = sparse_adam_row_update(
-                    params[name], m, v, role_ids[table_roles[name]], g_rows[name],
-                    lr, new_step.astype(jnp.float32),
-                )
+                ids_t = role_ids[table_roles[name]]
+                g_t = g_rows[name]
+                if row_update == "fused" and params[name].ndim == 2:
+                    from ..ops.pallas.rowadam import fused_rowadam
+
+                    ids_s, g_d = _segment_dedup(ids_t, g_t)
+                    bc = jnp.stack(
+                        [1.0 / (1.0 - 0.9**step_f), 1.0 / (1.0 - 0.999**step_f)]
+                    )
+                    table, m, v = fused_rowadam(
+                        params[name], m, v, ids_s, g_d, bc, lr
+                    )
+                else:
+                    table, m, v = sparse_adam_row_update(
+                        params[name], m, v, ids_t, g_t, lr, step_f
+                    )
                 params = {**params, name: table}
                 moments[name] = (m, v)
             sparse_state = {"moments": moments, "step": new_step}
@@ -179,6 +223,21 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
         (params, sparse_state, dense_state), losses = jax.lax.scan(
             step, (params, sparse_state, dense_state), xs
         )
+        if row_update == "fused":
+            # trim the 128-alignment pad columns back off
+            def _trim(name, t):
+                w = orig_width[name]
+                return t[:, :w] if (w is not None and t.shape[-1] != w) else t
+
+            params = {k: (_trim(k, v) if k in table_names else v)
+                      for k, v in params.items()}
+            sparse_state = {
+                "moments": {
+                    k: (_trim(k, m0), _trim(k, v0))
+                    for k, (m0, v0) in sparse_state["moments"].items()
+                },
+                "step": sparse_state["step"],
+            }
         return params, (sparse_state, dense_state), rng, jnp.mean(losses)
 
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
@@ -218,30 +277,73 @@ def shard_sparse_params(params, table_names, mesh):
     return out
 
 
-def make_sharded_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, mesh, dense_optimizer=None, donate=True, compute_dtype=None):
+def _bucket_by_owner(ids, rows, n_model, rows_per, capacity, shard_idx):
+    """Compact the rows of ``ids`` owned by model shard ``shard_idx`` into a
+    fixed-capacity bucket: returns (local_row_ids (C,), rows (C, d)).
+
+    Empty/overflow slots carry zero rows (no-ops downstream: the lazy-Adam
+    update masks untouched rows). Overflow — more than C owned rows in one
+    shard's batch — silently drops gradient; callers size C with a capacity
+    factor and should dedup first so C bounds UNIQUE owned ids.
+    """
+    loc = ids - shard_idx * rows_per
+    touched = jnp.any(rows != 0, axis=1)
+    mine = (loc >= 0) & (loc < rows_per) & touched
+    slot = jnp.cumsum(mine) - 1
+    write = jnp.where(mine & (slot < capacity), slot, capacity)
+    buf_ids = jnp.zeros((capacity + 1,), ids.dtype).at[write].set(
+        jnp.clip(loc, 0, rows_per - 1), mode="drop"
+    )
+    buf_rows = jnp.zeros((capacity + 1, rows.shape[1]), rows.dtype).at[write].set(
+        jnp.where(mine[:, None], rows, 0.0), mode="drop"
+    )
+    return buf_ids[:capacity], buf_rows[:capacity]
+
+
+def make_sharded_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, mesh, dense_optimizer=None, donate=True, compute_dtype=None, lookup_strategy="psum", grad_exchange="allgather", capacity_factor=2.0):
     """Multi-chip whole-epoch sparse trainer (the BASELINE.json north star).
 
     Embedding tables AND their lazy-Adam moments are row-sharded over the
     "model" mesh axis; batches shard over "data". One shard_map per step:
 
-      forward   — each (data, model) device gathers its batch shard's hits in
-                  its table shard; a psum over "model" completes the rows
-                  (same collective as parallel.embedding.psum_gather_sharded_batch).
-      backward  — row gradients are taken w.r.t. the GATHERED rows (a (B, d)
-                  tensor); an all_gather over "data" routes every shard's
-                  (ids, grad-rows) to all model shards — O(B*d) communication,
-                  the transpose of the forward — and each model shard
-                  scatter-updates only the rows it owns. Table-sized arrays
-                  never cross the ICI.
+      forward   — ``lookup_strategy``:
+                  * "psum" (default): each (data, model) device gathers its
+                    batch shard's hits in its table shard; a psum over "model"
+                    completes the rows (the collective of
+                    parallel.embedding.psum_gather_sharded_batch). Per-device
+                    bytes ~2*B_local*d (all-reduce = reduce + broadcast legs).
+                  * "ring": bucket owned rows (capacity C = ceil(B_local /
+                    n_model) * capacity_factor) and ride the Pallas ring
+                    all-gather (ops/pallas/ring_exchange.py) — each byte
+                    crosses each ICI link once; per-device bytes
+                    ~capacity_factor*B_local*d.
+      backward  — row gradients are taken w.r.t. the GATHERED rows; then
+                  ``grad_exchange``:
+                  * "allgather" (default, exact): all_gather over "data" of
+                    every shard's (ids, grad-rows) — O(B*d) received per
+                    device; each model shard scatter-updates its owned rows.
+                  * "bucketed": dedup locally, keep only rows THIS model shard
+                    owns (capacity C2 = ceil(B_local / n_model) *
+                    capacity_factor), all_gather over "data" of the small
+                    buckets — O(B*d*capacity_factor/n_model) received,
+                    n_model/capacity_factor x less wire traffic. Unique owned
+                    ids beyond C2 drop their gradient for that step (size
+                    capacity_factor for skew; see _bucket_by_owner).
+                  Table-sized arrays never cross the ICI either way.
       optimizer — lazy-Adam per owned row (sparse_adam_row_update, duplicate
                   ids across data shards summed by its segment dedup — exactly
                   the single-device semantics); dense params update replicated
                   with the psum-averaged gradient.
 
     Gradient parity with the single-device make_sparse_epoch_fn is exact up to
-    float reassociation (pinned in tests/test_sharded_sparse.py): the local
-    per-shard means are rescaled by 1/n_data so their dedup-sum equals the
-    global batch mean.
+    float reassociation (pinned in tests/test_sharded_sparse.py) for the
+    default strategies: the local per-shard means are rescaled by 1/n_data so
+    their dedup-sum equals the global batch mean. "bucketed"/"ring" trade
+    bounded approximation (capacity overflow) for wire bytes; parity at
+    adequate capacity is pinned in tests too.
+
+    Per-step collective bytes for every strategy combination are measurable
+    without hardware via parallel.comm_analysis.collective_bytes.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -269,7 +371,13 @@ def make_sharded_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, l
     param_specs = {k: _tspec(k, v) for k, v in params_shape.items()}
     moment_specs = {k: (param_specs[k], param_specs[k]) for k in table_names}
 
-    def _gather(local_table, ids):
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def _capacity_for(n_ids):
+        cap = max(int(-(-n_ids // n_model) * capacity_factor), 1)
+        return -(-cap // 8) * 8  # sublane alignment for ring blocks
+
+    def _gather_psum(local_table, ids):
         shard = jax.lax.axis_index(MODEL_AXIS)
         rows_per = local_table.shape[0]
         loc = ids - shard * rows_per
@@ -278,6 +386,47 @@ def make_sharded_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, l
         r = local_table[safe]
         mask = ok[..., None] if r.ndim > ok.ndim else ok
         return jax.lax.psum(jnp.where(mask, r, 0.0), MODEL_AXIS)
+
+    def _gather_ring(local_table, ids, collective_id):
+        """Bucket owned rows, ride the Pallas ring all-gather, scatter back.
+
+        Same bucketing as parallel.embedding.rdma_bucketed_gather, operating
+        on this data shard's local ids (2-D tables only; 1-D bias tables use
+        the psum path — their rows are 4 bytes, bucketing cannot pay).
+        """
+        from ..ops.pallas.ring_exchange import ring_allgather
+
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        rows_per = local_table.shape[0]
+        b = ids.shape[0]
+        capacity = _capacity_for(b)
+        owner = ids // rows_per
+        one_hot = jax.nn.one_hot(owner, n_model, dtype=jnp.int32)
+        slot = jnp.cumsum(one_hot, axis=0)[jnp.arange(b), owner] - 1
+        in_cap = slot < capacity
+        write_slot = jnp.where(in_cap, slot, capacity)
+        positions = jnp.full((n_model, capacity), b, jnp.int32)
+        positions = positions.at[owner, write_slot].set(
+            jnp.arange(b, dtype=jnp.int32), mode="drop"
+        )
+        my_pos = positions[shard]
+        req_valid = my_pos < b
+        safe_pos = jnp.where(req_valid, my_pos, 0)
+        loc = ids[safe_pos] - shard * rows_per
+        ok = (loc >= 0) & (loc < rows_per) & req_valid
+        rows = local_table[jnp.clip(loc, 0, rows_per - 1)]
+        rows = jnp.where(ok[:, None], rows, 0.0)
+        all_rows = ring_allgather(rows, MODEL_AXIS, collective_id)
+        flat_pos = positions.reshape(-1)
+        flat_rows = all_rows.reshape(n_model * capacity, local_table.shape[1])
+        return jnp.zeros((b, local_table.shape[1]), flat_rows.dtype).at[flat_pos].add(
+            flat_rows, mode="drop"
+        )
+
+    def _gather(local_table, ids, collective_id):
+        if lookup_strategy == "ring" and local_table.ndim == 2 and n_model > 1:
+            return _gather_ring(local_table, ids, collective_id)
+        return _gather_psum(local_table, ids)
 
     @functools.partial(
         shard_map,
@@ -300,8 +449,8 @@ def make_sharded_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, l
         batch = {"users": u, "pos_items": pos, "neg_items": neg}
         role_ids = {"users": u, "items_cat": jnp.concatenate([pos, neg])}
         rows = {
-            name: _gather(params[name], role_ids[table_roles[name]])
-            for name in table_names
+            name: _gather(params[name], role_ids[table_roles[name]], 2 + i)
+            for i, name in enumerate(table_names)
         }
         dense_params = {k: v for k, v in params.items() if k not in table_names}
 
@@ -329,18 +478,33 @@ def make_sharded_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, l
         new_params = dict(params)
         new_moments = dict(moments)
         for name in table_names:
-            ids_all = jax.lax.all_gather(
-                role_ids[table_roles[name]], DATA_AXIS, tiled=True
-            )
-            g_all = jax.lax.all_gather(g_rows[name] / n_data, DATA_AXIS, tiled=True)
             local_table = params[name]
             m, v = moments[name]
             rows_per = local_table.shape[0]
-            loc = ids_all - jax.lax.axis_index(MODEL_AXIS) * rows_per
-            ok = (loc >= 0) & (loc < rows_per)
-            safe = jnp.clip(loc, 0, rows_per - 1)
-            mask = ok[..., None] if g_all.ndim > ok.ndim else ok
-            g_masked = jnp.where(mask, g_all, 0.0)
+            ids_local = role_ids[table_roles[name]]
+            g_local = g_rows[name] / n_data  # local mean -> global batch mean
+            if grad_exchange == "bucketed":
+                # dedup first so the bucket capacity bounds UNIQUE owned ids,
+                # then ship only this model shard's rows over "data"
+                g2 = g_local if g_local.ndim == 2 else g_local[:, None]
+                ids_d, g_d = _segment_dedup(ids_local, g2)
+                cap_t = _capacity_for(ids_local.shape[0])
+                b_ids, b_rows = _bucket_by_owner(
+                    ids_d, g_d, n_model, rows_per, cap_t,
+                    jax.lax.axis_index(MODEL_AXIS),
+                )
+                safe = jax.lax.all_gather(b_ids, DATA_AXIS, tiled=True)
+                g_masked = jax.lax.all_gather(b_rows, DATA_AXIS, tiled=True)
+                if g_local.ndim == 1:
+                    g_masked = g_masked[:, 0]
+            else:
+                ids_all = jax.lax.all_gather(ids_local, DATA_AXIS, tiled=True)
+                g_all = jax.lax.all_gather(g_local, DATA_AXIS, tiled=True)
+                loc = ids_all - jax.lax.axis_index(MODEL_AXIS) * rows_per
+                ok = (loc >= 0) & (loc < rows_per)
+                safe = jnp.clip(loc, 0, rows_per - 1)
+                mask = ok[..., None] if g_all.ndim > ok.ndim else ok
+                g_masked = jnp.where(mask, g_all, 0.0)
             t2, m2, v2 = sparse_adam_row_update(
                 local_table, m, v, safe, g_masked, lr, new_step.astype(jnp.float32)
             )

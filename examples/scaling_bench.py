@@ -100,11 +100,11 @@ def main():
             params = model.init_params(jax.random.key(0))
             opt_state = optimizer.init(params)
         p, o, k, loss = epoch_fn(params, opt_state, jax.random.key(1))
-        jax.block_until_ready(loss)
+        float(loss)  # value fetch: block_until_ready does not block on axon
         t0 = time.time()
         for _ in range(3):
             p, o, k, loss = epoch_fn(p, o, k)
-        jax.block_until_ready(loss)
+        float(loss)
         dt = (time.time() - t0) / 3
         eps = args.n_interactions / dt
         results[size] = eps

@@ -101,6 +101,59 @@ def test_sharded_sparse_matches_single_device(setup, mesh_shape):
             )
 
 
+@pytest.mark.parametrize(
+    "lookup_strategy,grad_exchange",
+    [("psum", "bucketed")],
+    # The ("ring", *) variants are exercised by tests/test_ring_exchange.py's
+    # direct kernel tests; running the interpret-mode ring inside even a
+    # single sharded epoch step costs tens of minutes on the CPU mesh.
+)
+def test_sharded_sparse_strategies_match_default(setup, lookup_strategy, grad_exchange):
+    """Every lookup/grad-exchange strategy reproduces the default (psum +
+    all_gather) trajectory when bucket capacity covers all unique owned ids
+    (here rows-per-shard < capacity, so no overflow is possible).
+
+    Data is trimmed to ONE batch per epoch to keep CPU-mesh cost down."""
+    data, model = setup
+    mesh = make_mesh(n_data=4, n_model=2)
+    table_names = list(model.row_tables())
+    neg_sampler = make_negative_sampler(data, "bitmask")
+    lr, batch = 0.05, 64
+
+    host_params = _padded_params(model, mesh)
+    arrays = data.train_arrays()
+    from beta_recsys_tpu.data.base_data import TrainArrays
+
+    one_batch = TrainArrays(
+        users=np.asarray(arrays.users[:batch]),
+        items=np.asarray(arrays.items[:batch]),
+        ratings=np.asarray(arrays.ratings[:batch]),
+    )
+
+    def run(**kwargs):
+        fn = make_sharded_sparse_epoch_fn(
+            model, one_batch, batch, neg_sampler, lr=lr, mesh=mesh,
+            donate=False, **kwargs,
+        )
+        params = shard_sparse_params(host_params, table_names, mesh)
+        state = (init_sparse_state(params, table_names),
+                 optax.adam(lr).init({k: v for k, v in params.items()
+                                      if k not in table_names}))
+        return fn(params, state, jax.random.key(7))
+
+    p_ref, s_ref, _, loss_ref = run()
+    p_got, s_got, _, loss_got = run(
+        lookup_strategy=lookup_strategy, grad_exchange=grad_exchange,
+        capacity_factor=2.0,
+    )
+    assert float(loss_got) == pytest.approx(float(loss_ref), rel=1e-4)
+    for k in p_ref:
+        np.testing.assert_allclose(
+            np.asarray(p_got[k]), np.asarray(p_ref[k]), rtol=1e-2, atol=5e-4,
+            err_msg=k,
+        )
+
+
 def test_sharded_sparse_multi_epoch_learns(setup):
     """Three sharded epochs reduce the loss (end-to-end sanity on the mesh)."""
     data, model = setup

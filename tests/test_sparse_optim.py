@@ -93,3 +93,49 @@ def test_sparse_mf_learns():
     ev = RankingEvaluator(model, data.eval_candidates(data.valid[0]), ("ndcg",), (10,))
     res = ev.evaluate(params)
     assert res["ndcg@10"] > 0.35, res
+
+
+def test_fused_row_update_matches_xla_epoch():
+    """make_sparse_epoch_fn(row_update="fused") reproduces the XLA path's
+    trajectory exactly (interpret-mode kernel on the CPU mesh)."""
+    import optax
+
+    from beta_recsys_tpu.data.base_data import BaseData
+    from beta_recsys_tpu.datasets.data_split import leave_one_out
+    from beta_recsys_tpu.utils.constants import DEFAULT_FLAG_COL
+    from tests.test_train_mf import make_structured_interactions
+
+    df = make_structured_interactions(n_users=40, n_items=32, per_user=6)
+    flagged = leave_one_out(df.copy())
+    train = flagged[flagged[DEFAULT_FLAG_COL] == "train"].copy()
+    data = BaseData((train, [], []), intersect=False)
+    cfg = {"model": "MF", "emb_dim": 16, "loss": "bpr", "lr": 0.05, "reg": 0.0}
+    model = MF(cfg, data.n_users, data.n_items)
+    arrays = data.train_arrays()
+    neg_sampler = lambda key, users, shape: uniform_negatives(key, shape, data.n_items)
+
+    def run(row_update):
+        params = model.init_params(jax.random.key(0))
+        fn = make_sparse_epoch_fn(
+            model, arrays, 64, neg_sampler, lr=0.05, donate=False,
+            row_update=row_update,
+        )
+        state = (init_sparse_state(params, list(model.row_tables())),
+                 optax.adam(0.05).init({"global_bias": params["global_bias"]}))
+        rng = jax.random.key(3)
+        for _ in range(2):
+            params, state, rng, loss = fn(params, state, rng)
+        return params, state, float(loss)
+
+    p_x, s_x, l_x = run("xla")
+    p_f, s_f, l_f = run("fused")
+    assert l_f == pytest.approx(l_x, rel=1e-5)
+    for k in p_x:
+        np.testing.assert_allclose(
+            np.asarray(p_f[k]), np.asarray(p_x[k]), rtol=1e-5, atol=1e-7, err_msg=k
+        )
+    for k in s_x[0]["moments"]:
+        for got, want in zip(s_f[0]["moments"][k], s_x[0]["moments"][k]):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-7, err_msg=k
+            )
