@@ -17,6 +17,53 @@ import numpy as np
 
 REFERENCE_MF_EXAMPLES_PER_SEC = 99_000 / 13.0
 
+# v5e peaks (public spec / scaling-book numbers) for the roofline columns.
+V5E_HBM_BYTES_PER_S = 819e9  # HBM2 bandwidth per chip
+V5E_BF16_FLOPS = 197e12      # MXU peak, bf16 inputs / fp32 accumulate
+
+
+def _roofline_bw(modeled_bytes_per_epoch, epoch_sec):
+    """Achieved HBM GB/s (modeled bytes / measured time) + utilization."""
+    gbps = modeled_bytes_per_epoch / epoch_sec / 1e9
+    return {
+        "modeled_hbm_bytes_per_epoch": int(modeled_bytes_per_epoch),
+        "achieved_hbm_gbps": round(gbps, 2),
+        "hbm_utilization_vs_v5e_peak": round(gbps * 1e9 / V5E_HBM_BYTES_PER_S, 4),
+    }
+
+
+def _roofline_flops(modeled_flops_per_epoch, epoch_sec):
+    tflops = modeled_flops_per_epoch / epoch_sec / 1e12
+    return {
+        "modeled_flops_per_epoch": int(modeled_flops_per_epoch),
+        "achieved_tflops": round(tflops, 3),
+        "mxu_utilization_vs_v5e_bf16_peak": round(tflops * 1e12 / V5E_BF16_FLOPS, 4),
+    }
+
+
+def _dense_adam_bytes(n_params, n_steps):
+    """Dense-optimizer traffic model: every step reads params+m+v and writes
+    params+m+v (6 full passes) plus a grad write+read (2 passes) — 8 * 4B per
+    parameter per step. Activation/batch traffic is negligible next to it."""
+    return n_steps * 8 * n_params * 4
+
+
+def _sparse_rows_bytes(n_examples, rows_per_example, dim):
+    """Lazy-Adam row-traffic model per example: forward row read + grad row
+    write/read + (table,m,v) read + (table,m,v) write = 9 row passes of
+    dim * 4B for each touched row."""
+    return n_examples * rows_per_example * 9 * dim * 4
+
+
+def _sasrec_flops(n_seqs, maxlen, d, n_blocks):
+    """Training FLOPs (fwd + ~2x bwd) for SASRec's matmuls per sequence:
+    QKV+out projections 4*2*L*d^2, attention scores+values 2*2*L^2*d,
+    pointwise FFN (two d->d convs) 2*2*L*d^2, on pos+neg logit heads
+    2*2*L*d."""
+    per_layer = 4 * 2 * maxlen * d * d + 2 * 2 * maxlen * maxlen * d + 2 * 2 * maxlen * d * d
+    fwd = n_blocks * per_layer + 2 * 2 * maxlen * d
+    return 3 * fwd * n_seqs
+
 
 def _synthetic_ml100k():
     import pandas as pd
@@ -195,6 +242,34 @@ def bench_eval(data, n_repeats=5):
     return cand_sec, full_sec
 
 
+def bench_ncf_production(data, n_epochs=3):
+    """NCF at a production tower shape — d=256, 4-layer MLP (4096→…→256),
+    B=8192, 5 examples/interaction — where the tower matmuls are MXU-bound
+    and bf16 must pay (VERDICT item: a recorded bf16 win at a production
+    shape). Tables stay ml-100k-sized so dense-Adam table traffic does not
+    mask the MXU story (that regime is what sparse_optim is for).
+
+    Returns {"fp32": (eps, dt), "bf16": (eps, dt)} plus the FLOP model.
+    """
+    from beta_recsys_tpu.models.ncf import NeuMF
+
+    cfg = {"model": "NCF", "emb_dim": 256, "mlp_config": {"n_layers": 4},
+           "num_negative": 4, "batch_size": 8192, "optimizer": "adam", "lr": 0.001}
+    out = {}
+    for label, dt_ in (("fp32", None), ("bf16", "bfloat16")):
+        eps, t = bench_pairwise(data, cfg, NeuMF, n_epochs=n_epochs, compute_dtype=dt_)
+        out[label] = (eps, t)
+    return out
+
+
+def _ncf_production_flops(n_inter, num_neg=4, emb_dim=256, n_layers=4):
+    """Training FLOPs/epoch for the bench_ncf_production tower (fwd + 2x bwd)."""
+    rows = n_inter * (1 + num_neg)
+    widths = [emb_dim * 2 ** (n_layers - i) for i in range(n_layers + 1)]
+    per_row = sum(2 * widths[i] * widths[i + 1] for i in range(n_layers))
+    return 3 * rows * per_row
+
+
 def bench_sparse_large(n_users=1_000_000, n_items=100_000, n_inter=2_000_000, n_epochs=1):
     """Sparse (lazy-Adam) MF at production scale on synthetic interactions."""
     import jax
@@ -256,8 +331,11 @@ def main(full=False):
     mf_cfg = {"model": "MF", "emb_dim": 64, "batch_size": 400, "loss": "bpr",
               "optimizer": "adam", "lr": 0.05, "reg": 0.0}
     mf_eps, mf_dt = bench_pairwise(data, mf_cfg, MF)
+    n_steps = -(-len(data.train) // mf_cfg["batch_size"])
+    mf_params = (data.n_users + data.n_items) * (64 + 1) + 1
     details["mf_ml100k"] = {"examples_per_sec": mf_eps, "epoch_sec": mf_dt,
-                           "vs_reference": mf_eps / REFERENCE_MF_EXAMPLES_PER_SEC}
+                           "vs_reference": mf_eps / REFERENCE_MF_EXAMPLES_PER_SEC,
+                           **_roofline_bw(_dense_adam_bytes(mf_params, n_steps), mf_dt)}
 
     if full:
         # Each extra model costs a fresh whole-epoch compile (~1-3 min on the
@@ -268,22 +346,39 @@ def main(full=False):
         ncf_cfg = {"model": "NCF", "emb_dim": 8, "mlp_config": {"n_layers": 3},
                    "num_negative": 4, "batch_size": 400, "optimizer": "adam", "lr": 0.001}
         ncf_eps, ncf_dt = bench_pairwise(data, ncf_cfg, NeuMF, n_epochs=3)
-        details["ncf_ml100k"] = {"examples_per_sec": ncf_eps, "epoch_sec": ncf_dt}
+        # NCF traffic ~ dense Adam over GMF+MLP embeddings (d=8 and 8*2^L) +
+        # tower weights; embeddings dominate.
+        ncf_params = (data.n_users + data.n_items) * (8 + 8 * 2 ** 3) + 3000
+        ncf_steps = -(-len(data.train) // ncf_cfg["batch_size"])
+        details["ncf_ml100k"] = {"examples_per_sec": ncf_eps, "epoch_sec": ncf_dt,
+                                **_roofline_bw(_dense_adam_bytes(ncf_params, ncf_steps), ncf_dt)}
 
         gcn_cfg = {"model": "LightGCN", "emb_dim": 64, "layer_size": [64, 64, 64],
                    "regs": [1e-5], "keep_pro": 1.0, "batch_size": 4096,
                    "optimizer": "adam", "lr": 0.05}
         gcn_eps, gcn_dt = bench_pairwise(data, gcn_cfg, LightGCN, n_epochs=3)
-        details["lightgcn_ml100k"] = {"examples_per_sec": gcn_eps, "epoch_sec": gcn_dt}
+        # LightGCN traffic: per step, L propagation layers moving ~2 * nnz
+        # edge-rows of d floats (read src rows + accumulate dst rows) each
+        # way, plus the dense-Adam table passes.
+        gcn_steps = -(-len(data.train) // gcn_cfg["batch_size"])
+        gcn_params = (data.n_users + data.n_items) * 64
+        nnz = len(data.train)
+        prop_bytes = gcn_steps * 3 * 2 * 2 * nnz * 64 * 4
+        details["lightgcn_ml100k"] = {
+            "examples_per_sec": gcn_eps, "epoch_sec": gcn_dt,
+            **_roofline_bw(prop_bytes + _dense_adam_bytes(gcn_params, gcn_steps), gcn_dt),
+        }
 
         from beta_recsys_tpu.data.sequential_data import SequentialData
 
         seq_data = SequentialData((data.train, [], []), intersect=False)
         sas_sps, sas_dt = bench_sasrec(seq_data)
+        sas_nseq = (len(seq_data.train_seq_arrays(200)["users"]) // 128) * 128
         details["sasrec_ml100k_maxlen200"] = {
             "sequences_per_sec": sas_sps,
             "epoch_sec": sas_dt,
             "reference_epoch_sec_dunnhumby": 21.0,
+            **_roofline_flops(_sasrec_flops(sas_nseq, 200, 64, 2), sas_dt),
         }
 
         # bf16 mixed-precision variants (fp32 master params, bf16 compute)
@@ -302,15 +397,33 @@ def main(full=False):
             "speedup_vs_fp32": ncf16_eps / ncf_eps,
         }
 
+        # Production tower shape: d=256 / 4-layer MLP / B=8192 — MXU-bound,
+        # where bf16 must show a real win.
+        prod = bench_ncf_production(data)
+        prod_flops = _ncf_production_flops(len(data.train))
+        details["ncf_production_d256_L4_B8192"] = {
+            "fp32_examples_per_sec": prod["fp32"][0],
+            "fp32_epoch_sec": prod["fp32"][1],
+            "bf16_examples_per_sec": prod["bf16"][0],
+            "bf16_epoch_sec": prod["bf16"][1],
+            "bf16_speedup_vs_fp32": prod["bf16"][0] / prod["fp32"][0],
+            "fp32_roofline": _roofline_flops(prod_flops, prod["fp32"][1]),
+            "bf16_roofline": _roofline_flops(prod_flops, prod["bf16"][1]),
+        }
+
         # Production-scale sparse training: 1M x 100k MF, lazy-Adam row
         # updates (table-height-independent step cost). Dense Adam at this
         # scale spends ~6 full-table HBM passes per step and cannot finish an
         # epoch in minutes; sparse finishes in seconds.
         sp_eps, sp_dt = bench_sparse_large()
+        # 3 embedding rows (u, i, j) + 3 bias rows per example; bias rows are
+        # d=1 (negligible), so model 3 rows of d=64 (padded to 128 for the
+        # fused kernel) through the 9-pass lazy-Adam row pipeline.
         details["mf_1m_users_sparse"] = {
             "examples_per_sec": sp_eps,
             "epoch_sec": sp_dt,
             "n_users": 1_000_000, "n_items": 100_000, "emb_dim": 64,
+            **_roofline_bw(_sparse_rows_bytes(2_000_000, 3, 128), sp_dt),
         }
 
         cand_sec, full_sec = bench_eval(data)

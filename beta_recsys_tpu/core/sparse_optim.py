@@ -86,6 +86,19 @@ def init_sparse_state(params, table_names):
     return {"moments": moments, "step": jnp.zeros((), jnp.int32)}
 
 
+def _role_layout(model, params_shape):
+    """Group the model's row tables by batch role for the packed layout.
+
+    Returns {role: [(table_name, width, ndim), ...]} with a deterministic
+    order (row_tables declaration order). 1-D bias tables get width 1.
+    """
+    roles = {}
+    for name, role in model.row_tables().items():
+        sh = params_shape[name].shape
+        roles.setdefault(role, []).append((name, sh[1] if len(sh) == 2 else 1, len(sh)))
+    return roles
+
+
 def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense_optimizer=None, donate=True, compute_dtype=None, row_update="auto"):
     """Whole-epoch trainer with lazy-Adam row updates for embedding tables.
 
@@ -96,17 +109,30 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
         table_name -> the gathered (B, d) rows.
     Non-table params ("dense") update with ``dense_optimizer`` (default: adam).
 
-    ``row_update`` selects how 2-D table rows are written back:
+    ``row_update`` selects how table rows are written back:
+      "unified" — every role's tables live in ONE (total_rows, 3, W) array
+        holding [param|m|v] rows, with role tables' columns side by side
+        (biases fold in as width-1 columns) and roles stacked vertically at
+        row offsets; batch ids from all roles concatenate (with offsets) so
+        each step runs ONE full-row gather, ONE shared sort/dedup, ONE
+        scatter-add — replacing the per-table path's ~20 row ops. v5e
+        profiling (tools/prof_scatter_width.py, prof_step_decomp.py) shows
+        why this wins: scatter/gather cost is per-OP and nearly
+        width-independent ((B,768) scatter = 1.55x a (B,64) one), full-row
+        gathers are ~8x cheaper than column-sliced gathers, and sorts
+        amortize when shared. Measured ~2x end-to-end at (1M x 64, B=8192).
+        Lazy "touched" masks stay exactly per-table (role-aware column
+        masks), so the trajectory matches "xla" bit-for-bit up to float
+        reassociation.
       "fused" — the Pallas fused_rowadam kernel (ops/pallas/rowadam.py):
-        round-3 profiling showed ONE XLA scatter of 16k x 64 rows costs
-        ~1.2 ms on v5e (and the update needs three per table); the kernel
-        replaces gathers+3 scatters with pipelined row DMAs. Table minor dims
-        are padded to 128 INSIDE the epoch (Mosaic row-DMA alignment; zero
-        pad columns receive zero grads so they stay zero) and trimmed back
-        before returning.
-      "xla" — pure scatter-add path (sparse_adam_row_update).
-      "auto" — "fused" on TPU backends, "xla" elsewhere.
-    1-D tables (bias vectors) always use the XLA path.
+        pipelined row DMAs, in-place. A/B on the real v5e: latency-bound at
+        N_SLOTS outstanding row DMAs and 1.5x SLOWER end-to-end than "xla" —
+        kept for future kernel work, do not default to it. Table minor dims
+        are padded to 128 INSIDE the epoch (Mosaic row-DMA alignment) and
+        trimmed back before returning; 1-D tables use the XLA path.
+      "xla" — per-table gather + 3 scatter-adds (sparse_adam_row_update).
+      "auto" — "unified" on TPU backends, "xla" elsewhere (CPU scatters are
+        bandwidth-bound, where the per-table path's narrower rows win).
     """
     users = jnp.asarray(train_arrays.users)
     items = jnp.asarray(train_arrays.items)
@@ -118,7 +144,55 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
     table_names = list(table_roles)
     dense_optimizer = dense_optimizer or optax.adam(lr)
     if row_update == "auto":
-        row_update = "fused" if jax.default_backend() == "tpu" else "xla"
+        row_update = "unified" if jax.default_backend() == "tpu" else "xla"
+
+    params_shape = jax.eval_shape(model.init_params, jax.random.key(0))
+    roles = _role_layout(model, params_shape)
+    role_order = list(roles)
+    role_width = {
+        role: sum(w for _, w, _ in specs) for role, specs in roles.items()
+    }
+    role_rows = {}
+    for role, specs in roles.items():
+        heights = {params_shape[n].shape[0] for n, _, _ in specs}
+        if len(heights) != 1:
+            raise ValueError(
+                f"tables of role {role!r} must share a row count, got {heights}"
+            )
+        role_rows[role] = heights.pop()
+    w_max = max(role_width.values())
+    role_base = {}
+    _acc = 0
+    for role in role_order:
+        role_base[role] = _acc
+        _acc += role_rows[role]
+    total_rows = _acc
+
+    def _pack_unified(params, moments):
+        """One (total_rows, 3, w_max) [param|m|v] array for every role table."""
+        u = jnp.zeros((total_rows, 3, w_max), jnp.float32)
+        for role in role_order:
+            b0, off = role_base[role], 0
+            for n, w, nd in roles[role]:
+                srcs = (params[n], moments[n][0], moments[n][1])
+                for comp, s in enumerate(srcs):
+                    s2 = s[:, None] if nd == 1 else s
+                    u = u.at[b0 : b0 + role_rows[role], comp, off : off + w].set(s2)
+                off += w
+        return u
+
+    def _unpack_unified(u):
+        params_out, moments_out = {}, {}
+        for role in role_order:
+            b0, off = role_base[role], 0
+            for n, w, nd in roles[role]:
+                def sl(comp):
+                    s = u[b0 : b0 + role_rows[role], comp, off : off + w]
+                    return s[:, 0] if nd == 1 else s
+                params_out[n] = sl(0)
+                moments_out[n] = (sl(1), sl(2))
+                off += w
+        return params_out, moments_out
 
     def _pad_cols(t):
         if t.ndim != 2 or t.shape[1] % 128 == 0:
@@ -144,6 +218,132 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
             neg_all.reshape(num_batches, batch_size),
             jax.random.split(k_epoch, num_batches),
         )
+
+        if row_update == "unified":
+            b1, b2, eps = 0.9, 0.999, 1e-8
+            dense_params0 = {k: v for k, v in params.items() if k not in table_names}
+            u0 = _pack_unified(params, sparse_state["moments"])
+
+            def ustep(carry, x):
+                uarr, dense_params, step_i, dense_state = carry
+                u, pos, neg, k_loss = x
+                batch = {"users": u, "pos_items": pos, "neg_items": neg}
+                role_ids = {"users": u, "items_cat": jnp.concatenate([pos, neg])}
+
+                # concat every role's ids (offset to its row block): one
+                # gather / sort / scatter serves ALL tables this step
+                seg, parts, s0 = [], [], 0
+                for role in role_order:
+                    ids_r = role_ids[role]
+                    parts.append(ids_r + role_base[role])
+                    seg.append((role, s0, s0 + ids_r.shape[0]))
+                    s0 += ids_r.shape[0]
+                ids_u = jnp.concatenate(parts)
+                L = ids_u.shape[0]
+                rows_full = uarr[ids_u]  # (L, 3, w_max): ONE full-row gather
+                prow = rows_full[:, 0, :]
+
+                def _rows_of(prow):
+                    rows = {}
+                    for role, a, b in seg:
+                        off = 0
+                        for n, w, nd in roles[role]:
+                            sl = prow[a:b, off : off + w]
+                            rows[n] = sl[:, 0] if nd == 1 else sl
+                            off += w
+                    return rows
+
+                # Differentiate w.r.t. the single (L, w_max) row tensor, NOT a
+                # dict of slices: the cotangent lands directly in the unified
+                # layout (no per-table concat/pad reassembly ops in the step).
+                def loss_fn(prow, dense_params):
+                    rows = _rows_of(prow)
+                    if compute_dtype is not None:
+                        dt = jnp.dtype(compute_dtype)
+                        cast = lambda t: jax.tree_util.tree_map(
+                            lambda x: x.astype(dt)
+                            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                            else x,
+                            t,
+                        )
+                        return model.row_loss(
+                            cast(rows), cast(dense_params), batch, k_loss
+                        ).astype(jnp.float32)
+                    return model.row_loss(rows, dense_params, batch, k_loss)
+
+                loss, (g_cat, g_dense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                    prow, dense_params
+                )
+
+                # shared sort + segment dedup (duplicates sum at the first
+                # occurrence; later occurrences carry zero rows)
+                order2 = jnp.argsort(ids_u)
+                ids_s = ids_u[order2]
+                g_sorted = g_cat[order2]
+                first = jnp.concatenate(
+                    [jnp.array([True]), ids_s[1:] != ids_s[:-1]]
+                )
+                segid = jnp.cumsum(first) - 1
+                summed = jax.ops.segment_sum(g_sorted, segid, num_segments=L)
+                g_d = jnp.where(first[:, None], summed[segid], 0.0)
+                rows_s = rows_full[order2]  # permute the gathered buffer
+
+                m_r, v_r = rows_s[:, 1, :], rows_s[:, 2, :]
+                new_step = step_i + 1
+                step_f = new_step.astype(jnp.float32)
+                m_new = b1 * m_r + (1 - b1) * g_d
+                v_new = b2 * v_r + (1 - b2) * g_d**2
+                m_hat = m_new / (1 - b1**step_f)
+                v_hat = v_new / (1 - b2**step_f)
+                delta = -lr * m_hat / (jnp.sqrt(v_hat) + eps)
+
+                # per-TABLE lazy "touched" masks (exact XLA-path semantics):
+                # role membership from the sorted ids' row-block, per-table
+                # any-nonzero over that table's column slice of the deduped g
+                mask = jnp.zeros((L, w_max), jnp.float32)
+                for role in role_order:
+                    b0 = role_base[role]
+                    ind = (
+                        (ids_s >= b0) & (ids_s < b0 + role_rows[role])
+                    ).astype(jnp.float32)[:, None]
+                    off, blocks = 0, []
+                    for n, w, nd in roles[role]:
+                        t = jnp.any(g_d[:, off : off + w] != 0, axis=1, keepdims=True)
+                        blocks.append(
+                            jnp.broadcast_to(t.astype(jnp.float32), (L, w))
+                        )
+                        off += w
+                    pad = w_max - role_width[role]
+                    if pad:
+                        blocks.append(jnp.zeros((L, pad), jnp.float32))
+                    mask = mask + ind * jnp.concatenate(blocks, axis=1)
+
+                upd = jnp.stack(
+                    [mask * delta, mask * (m_new - m_r), mask * (v_new - v_r)],
+                    axis=1,
+                )  # (L, 3, w_max)
+                # NOT indices_are_sorted=True: profiled 5x SLOWER at B=8192
+                # on v5e (tools/prof_scatter_rows.py) — XLA picks a worse
+                # lowering for the sorted hint at this shape.
+                uarr = uarr.at[ids_s].add(upd)  # ONE scatter-add
+
+                updates, dense_state = dense_optimizer.update(
+                    g_dense, dense_state, dense_params
+                )
+                dense_params = optax.apply_updates(dense_params, updates)
+                return (uarr, dense_params, new_step, dense_state), loss
+
+            (uarr, dense_params, step_i, dense_state), losses = jax.lax.scan(
+                ustep, (u0, dense_params0, sparse_state["step"], dense_state), xs
+            )
+            params_out, moments_out = _unpack_unified(uarr)
+            params_out.update(dense_params)
+            return (
+                params_out,
+                ({"moments": moments_out, "step": step_i}, dense_state),
+                rng,
+                jnp.mean(losses),
+            )
 
         orig_width = {k: params[k].shape[-1] if params[k].ndim == 2 else None
                       for k in table_names}

@@ -44,13 +44,21 @@ def _ring_allgather_kernel(x_ref, out_ref, comm_ref, send_sem, recv_sem, ack_sem
     right = jax.lax.rem(my_id + 1, num_dev)
     left = jax.lax.rem(my_id - 1 + num_dev, num_dev)
 
+    # Neighbor addressing MUST be mesh-relative ({axis: idx} + MESH type):
+    # a bare LOGICAL id is the flattened global device number, so on any mesh
+    # with a second axis (e.g. ("data", "model")) it addresses device 0/1 of
+    # the whole mesh instead of the ring neighbor inside this group —
+    # every data row's ring then RDMAs into data row 0 and deadlocks
+    # (round-3 bug: dryrun hung on a (4, 2) mesh while (1, 8) passed).
     # Neighbor barrier: don't RDMA into a peer before it enters the kernel.
     barrier = pltpu.get_barrier_semaphore()
     pltpu.semaphore_signal(
-        barrier, inc=1, device_id=left, device_id_type=pltpu.DeviceIdType.LOGICAL
+        barrier, inc=1, device_id={axis: left},
+        device_id_type=pltpu.DeviceIdType.MESH,
     )
     pltpu.semaphore_signal(
-        barrier, inc=1, device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL
+        barrier, inc=1, device_id={axis: right},
+        device_id_type=pltpu.DeviceIdType.MESH,
     )
     pltpu.semaphore_wait(barrier, 2)
 
@@ -75,16 +83,16 @@ def _ring_allgather_kernel(x_ref, out_ref, comm_ref, send_sem, recv_sem, ack_sem
             dst_ref=comm_ref.at[recv_slot],
             send_sem=send_sem.at[send_slot],
             recv_sem=recv_sem.at[recv_slot],
-            device_id=right,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id={axis: right},
+            device_id_type=pltpu.DeviceIdType.MESH,
         )
         rdma.start()
         rdma.wait()
         # Send from comm[send_slot] is complete (and its content was copied
         # to out last step): the slot is reusable — ACK the left neighbor.
         pltpu.semaphore_signal(
-            ack_sem, inc=1, device_id=left,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ack_sem, inc=1, device_id={axis: left},
+            device_id_type=pltpu.DeviceIdType.MESH,
         )
         # After step i we hold the block originated by (my_id - i - 1) % n.
         src_dev = jax.lax.rem(my_id - i - 1 + num_dev, num_dev)

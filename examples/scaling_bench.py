@@ -1,13 +1,16 @@
-"""Data-parallel scaling benchmark: examples/sec vs mesh size.
+"""Data-parallel scaling benchmark: examples/sec vs mesh size + comm model.
 
 On a real multi-chip slice this measures scaling efficiency toward the
 v5e-16 >= 80% target (BASELINE.json). With --virtual it runs on N virtual CPU
-devices instead — numbers are then only structural (correct collectives, no
-real bandwidth), useful in CI.
+devices instead — wall-clock is then only structural, but the compiled HLO's
+collective bytes ARE the real communication model (identical program on real
+chips), so every mesh point also records per-step collective bytes
+(parallel/comm_analysis.py) and a predicted v5e ICI comm time. --report
+writes the table to SCALING_REPORT.md.
 
 Usage:
-    python examples/scaling_bench.py                 # real devices
-    python examples/scaling_bench.py --virtual 8     # virtual CPU mesh
+    python examples/scaling_bench.py                        # real devices
+    python examples/scaling_bench.py --virtual 8 --report   # virtual CPU mesh
 """
 
 import argparse
@@ -16,6 +19,34 @@ import sys
 import time
 
 sys.path.insert(0, ".")
+
+# v5e ICI: ~45 GB/s per link per direction (2D torus, public "How to Scale
+# Your Model" numbers). Used only for the predicted-comm-time column.
+ICI_LINK_BYTES_PER_S = 45e9
+
+
+def comm_model(epoch_fn, example_args, n_devices, num_batches):
+    """Per-step collective bytes of the compiled epoch + predicted ICI time.
+
+    The epoch is a lax.scan, so each collective instruction in the HLO runs
+    once per step; bytes below are per device per STEP (epoch bytes = x
+    num_batches). Pallas ring kernels issue raw remote DMAs that do not
+    appear as HLO collectives — strategies using them are annotated instead.
+    """
+    from beta_recsys_tpu.parallel.comm_analysis import (
+        collective_bytes,
+        estimate_link_bytes,
+    )
+
+    counts = collective_bytes(epoch_fn, *example_args)
+    link = estimate_link_bytes(counts, n_devices)
+    total_link = sum(link.values())
+    return {
+        "per_step_collectives": counts,
+        "per_step_link_bytes": total_link,
+        "per_epoch_link_bytes": total_link * num_batches,
+        "predicted_comm_s_per_epoch": total_link * num_batches / ICI_LINK_BYTES_PER_S,
+    }
 
 
 def main():
@@ -27,6 +58,7 @@ def main():
     parser.add_argument("--n_items", type=int, default=50_000)
     parser.add_argument("--emb_dim", type=int, default=64)
     parser.add_argument("--sparse", action="store_true", help="sweep the sharded sparse (lazy-Adam, row-sharded tables) trainer instead")
+    parser.add_argument("--report", action="store_true", help="write SCALING_REPORT.md")
     args = parser.parse_args()
 
     import jax
@@ -56,6 +88,7 @@ def main():
     sampler = lambda key, users, shape: uniform_negatives(key, shape, args.n_items)
 
     results = {}
+    rows = []
     size = 1
     while size <= n_devices:
         batch = args.batch_per_device * size
@@ -109,17 +142,86 @@ def main():
         eps = args.n_interactions / dt
         results[size] = eps
         base = results[1]
-        print(
-            json.dumps(
-                {
-                    "devices": size,
-                    "examples_per_sec": round(eps),
-                    "per_device": round(eps / size),
-                    "scaling_efficiency": round(eps / (base * size), 3),
-                }
+        row = {
+            "devices": size,
+            "examples_per_sec": round(eps),
+            "per_device": round(eps / size),
+            "scaling_efficiency": round(eps / (base * size), 3),
+        }
+        if size > 1:
+            num_batches = -(-args.n_interactions // batch)
+            row["comm"] = comm_model(
+                epoch_fn, (params, opt_state, jax.random.key(1)), size, num_batches
             )
-        )
+        rows.append(row)
+        print(json.dumps(row))
         size *= 2
+
+    if args.report:
+        write_report(rows, args)
+
+
+def write_report(rows, args):
+    mode = "sparse (row-sharded lazy-Adam)" if args.sparse else "dense (data-parallel)"
+    lines = [
+        "# Scaling report — MF {} trainer".format(mode),
+        "",
+        "Workload: {:,} interactions, {:,} users x {:,} items, d={}, "
+        "batch/device={}.".format(
+            args.n_interactions, args.n_users, args.n_items,
+            args.emb_dim, args.batch_per_device,
+        ),
+        "",
+        "Wall-clock below is {} — on the virtual CPU mesh only the *comm model*"
+        " columns are hardware-predictive: they come from the compiled HLO's"
+        " collective instructions, which are identical on real chips."
+        .format("virtual-CPU structural" if args.virtual else "real-device"),
+        "",
+        "| devices | examples/s | per-device | efficiency | link bytes/step | "
+        "predicted ICI s/epoch | collectives (per step) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        comm = r.get("comm")
+        if comm:
+            kinds = "; ".join(
+                f"{k}: {v['calls']}x {v['bytes'] / 1e3:.1f}KB"
+                for k, v in comm["per_step_collectives"].items()
+            )
+            lines.append(
+                "| {devices} | {examples_per_sec:,} | {per_device:,} | "
+                "{scaling_efficiency} | {lb:,} | {ct:.4f} | {kinds} |".format(
+                    lb=comm["per_step_link_bytes"],
+                    ct=comm["predicted_comm_s_per_epoch"],
+                    kinds=kinds or "none",
+                    **{k: r[k] for k in
+                       ("devices", "examples_per_sec", "per_device", "scaling_efficiency")},
+                )
+            )
+        else:
+            lines.append(
+                "| {devices} | {examples_per_sec:,} | {per_device:,} | "
+                "{scaling_efficiency} | — | — | — |".format(
+                    **{k: r[k] for k in
+                       ("devices", "examples_per_sec", "per_device", "scaling_efficiency")}
+                )
+            )
+    lines += [
+        "",
+        "Predicted ICI time assumes a v5e 2D torus at {:.0f} GB/s per link"
+        " direction. Scaling efficiency on real hardware ~= compute_time /"
+        " (compute_time + predicted ICI time) when collectives do not overlap"
+        " compute; XLA overlaps grad all-reduce with the backward pass, so the"
+        " prediction is a lower bound. Pallas ring-RDMA paths issue raw remote"
+        " DMAs that do not appear as HLO collectives; their wire cost is"
+        " (n-1)/n x bucket bytes per link by construction.".format(
+            ICI_LINK_BYTES_PER_S / 1e9
+        ),
+        "",
+    ]
+    with open("SCALING_REPORT.md", "w") as f:
+        f.write("\n".join(lines))
+    print("wrote SCALING_REPORT.md")
 
 
 if __name__ == "__main__":

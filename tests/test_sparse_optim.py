@@ -95,9 +95,11 @@ def test_sparse_mf_learns():
     assert res["ndcg@10"] > 0.35, res
 
 
-def test_fused_row_update_matches_xla_epoch():
-    """make_sparse_epoch_fn(row_update="fused") reproduces the XLA path's
-    trajectory exactly (interpret-mode kernel on the CPU mesh)."""
+@pytest.mark.parametrize("alt_mode", ["fused", "unified"])
+def test_alt_row_update_matches_xla_epoch(alt_mode):
+    """make_sparse_epoch_fn(row_update="fused"/"unified") reproduces the XLA
+    path's trajectory exactly ("fused" runs the interpret-mode kernel on CPU;
+    "unified" is the one-array single-scatter layout)."""
     import optax
 
     from beta_recsys_tpu.data.base_data import BaseData
@@ -128,7 +130,7 @@ def test_fused_row_update_matches_xla_epoch():
         return params, state, float(loss)
 
     p_x, s_x, l_x = run("xla")
-    p_f, s_f, l_f = run("fused")
+    p_f, s_f, l_f = run(alt_mode)
     assert l_f == pytest.approx(l_x, rel=1e-5)
     for k in p_x:
         np.testing.assert_allclose(
