@@ -416,14 +416,14 @@ def main(full=False):
         # scale spends ~6 full-table HBM passes per step and cannot finish an
         # epoch in minutes; sparse finishes in seconds.
         sp_eps, sp_dt = bench_sparse_large()
-        # 3 embedding rows (u, i, j) + 3 bias rows per example; bias rows are
-        # d=1 (negligible), so model 3 rows of d=64 (padded to 128 for the
-        # fused kernel) through the 9-pass lazy-Adam row pipeline.
+        # unified layout: 3 rows (u, i, j) per example, each a [param|m|v]
+        # row of 3*(64+1)=195 floats tile-padded to 256 lanes, moved through
+        # gather + 2 permutes + scatter read/write (~6 row passes).
         details["mf_1m_users_sparse"] = {
             "examples_per_sec": sp_eps,
             "epoch_sec": sp_dt,
             "n_users": 1_000_000, "n_items": 100_000, "emb_dim": 64,
-            **_roofline_bw(_sparse_rows_bytes(2_000_000, 3, 128), sp_dt),
+            **_roofline_bw(2_000_000 * 3 * 6 * 256 * 4, sp_dt),
         }
 
         cand_sec, full_sec = bench_eval(data)

@@ -106,10 +106,62 @@ class FullCatalogEvaluator:
         self.user_block = user_block
         self.mesh = mesh
         self.users = np.asarray(users, dtype=np.int32)
-        self.relevance_csr = relevance_csr
-        self.train_csr = train_csr
 
-        def _score_block(params, users_blk, rel_blk, train_blk):
+        # Precompute per-block COO ONCE (round-2 review: .todense() per block
+        # per eval churned ~660MB of host memory per block at ml-25m scale,
+        # every epoch). The dense (B, n_items) relevance/train-mask blocks are
+        # now built ON DEVICE by a scatter from these cached index arrays —
+        # the host does no per-eval work beyond handing over cached arrays.
+        B = user_block
+        n_blocks = max(-(-len(self.users) // B), 1)
+        blocks = []
+        for start in range(0, n_blocks * B, B):
+            blk = self.users[start : start + B]
+            pad = B - len(blk)
+            blk_padded = np.pad(blk, (0, pad), mode="edge") if pad else blk
+            coo = []
+            for csr, keep_pad in ((relevance_csr, False), (train_csr, True)):
+                sub = csr[blk_padded].tocoo()
+                rows, cols, data = sub.row, sub.col, sub.data
+                if pad and not keep_pad:
+                    # padded (duplicated) users must contribute no relevance
+                    keep = rows < len(blk)
+                    rows, cols, data = rows[keep], cols[keep], data[keep]
+                coo.append((rows.astype(np.int32), cols.astype(np.int32),
+                            data.astype(np.float32)))
+            blocks.append((blk_padded, coo))
+        # one jit: pad every block's COO to the global max nnz (pad entries
+        # write out of bounds -> dropped)
+        max_rel = max((len(c[0][0]) for _, c in blocks), default=1) or 1
+        max_trn = max((len(c[1][0]) for _, c in blocks), default=1) or 1
+
+        def _pad_coo(rows, cols, data, target, n_rows):
+            pad = target - len(rows)
+            if pad:
+                rows = np.concatenate([rows, np.full(pad, n_rows, np.int32)])
+                cols = np.concatenate([cols, np.zeros(pad, np.int32)])
+                data = np.concatenate([data, np.zeros(pad, np.float32)])
+            return rows, cols, data
+
+        self._blocks = []
+        for blk_padded, (rel_coo, trn_coo) in blocks:
+            self._blocks.append(
+                (
+                    jnp.asarray(blk_padded),
+                    tuple(map(jnp.asarray, _pad_coo(*rel_coo, max_rel, B))),
+                    tuple(map(jnp.asarray, _pad_coo(*trn_coo, max_trn, B))),
+                )
+            )
+
+        n_items = model.n_items
+
+        def _score_block(params, users_blk, rel_coo, trn_coo):
+            rel_blk = jnp.zeros((B, n_items), jnp.float32).at[rel_coo[0], rel_coo[1]].set(
+                rel_coo[2], mode="drop"
+            )
+            train_blk = jnp.zeros((B, n_items), jnp.float32).at[trn_coo[0], trn_coo[1]].set(
+                trn_coo[2], mode="drop"
+            )
             users_blk, rel_blk, train_blk = _shard_rows(mesh, users_blk, rel_blk, train_blk)
             # tables may carry pad rows (sharded sparse training); pad items
             # must never be ranked
@@ -124,17 +176,8 @@ class FullCatalogEvaluator:
         """Average metric@k over all users, evaluated in fixed-size blocks."""
         totals = {}
         B = self.user_block
-        for start in range(0, len(self.users), B):
-            blk = self.users[start : start + B]
-            pad = B - len(blk)
-            blk_padded = np.pad(blk, (0, pad), mode="edge") if pad else blk
-            rel = np.asarray(self.relevance_csr[blk_padded].todense(), dtype=np.float32)
-            trn = np.asarray(self.train_csr[blk_padded].todense(), dtype=np.float32)
-            if pad:
-                rel[len(blk):] = 0.0  # padded users have no relevance → contribute 0
-            out = jax.device_get(
-                self._score_block(params, jnp.asarray(blk_padded), jnp.asarray(rel), jnp.asarray(trn))
-            )
+        for users_blk, rel_coo, trn_coo in self._blocks:
+            out = jax.device_get(self._score_block(params, users_blk, rel_coo, trn_coo))
             for k, v in out.items():
                 # each block metric is a mean over B rows (padded rows are 0);
                 # v * B recovers the block's per-user sum
@@ -162,29 +205,64 @@ class TopKRetrievalEvaluator:
         self.user_block = user_block
         self.item_block = item_block
         self.users = np.asarray(users, dtype=np.int32)
-        self.relevance_csr = relevance_csr
-        self.train_csr = train_csr
         self._streaming_topk = streaming_topk
+
+        # Precompute per-block artifacts ONCE (round-2 review: todense() +
+        # scipy fancy-indexing per block per eval). Per eval, the host only
+        # hands cached arrays to the device: the train exclude-mask is built
+        # by an on-device scatter, and top-item relevance by an on-device
+        # padded-membership compare against each user's relevant-item list.
+        n_items = model.n_items
+        B = user_block
+        self._blocks = []
+        for start in range(0, len(self.users), B):
+            blk = self.users[start : start + B]
+            sub = train_csr[blk].tocoo()
+            rel_rows = relevance_csr[blk]
+            r_per_user = np.diff(rel_rows.indptr)
+            R = max(int(r_per_user.max()) if len(r_per_user) else 1, 1)
+            rel_items = np.full((len(blk), R), n_items, np.int32)  # n_items = "none"
+            rel_vals = np.zeros((len(blk), R), np.float32)
+            for i in range(len(blk)):
+                s, e = rel_rows.indptr[i], rel_rows.indptr[i + 1]
+                rel_items[i, : e - s] = rel_rows.indices[s:e]
+                rel_vals[i, : e - s] = rel_rows.data[s:e]
+            self._blocks.append(
+                (
+                    jnp.asarray(blk),
+                    (jnp.asarray(sub.row.astype(np.int32)),
+                     jnp.asarray(sub.col.astype(np.int32))),
+                    jnp.asarray(rel_items),
+                    jnp.asarray(rel_vals),
+                    np.asarray(rel_rows.sum(axis=1)).flatten(),
+                )
+            )
+
+        def _top_rel(u_emb_blk, i_emb_all, trn_rows, trn_cols, rel_items, rel_vals, n_rows):
+            excl = jnp.zeros((n_rows, n_items), bool).at[trn_rows, trn_cols].set(
+                True, mode="drop"
+            )
+            _, top_idx = streaming_topk(
+                u_emb_blk, i_emb_all, self.max_k, block=self.item_block,
+                exclude_mask=excl,
+            )
+            # (B, K, R) membership: relevance value of each retrieved item
+            hit = top_idx[:, :, None] == rel_items[:, None, :]
+            return top_idx, jnp.sum(hit * rel_vals[:, None, :], axis=2)
+
+        self._top_rel = jax.jit(_top_rel, static_argnames=("n_rows",))
 
     def evaluate(self, params):
         import jax.numpy as jnp
 
         u_emb_all, i_emb_all = self.model.user_item_embeddings_trimmed(params)
         totals = {f"{m}@{k}": 0.0 for m in self.metrics for k in self.ks}
-        B = self.user_block
-        for start in range(0, len(self.users), B):
-            blk = self.users[start : start + B]
-            trn = np.asarray(self.train_csr[blk].todense()) > 0
-            _, top_idx = self._streaming_topk(
-                u_emb_all[jnp.asarray(blk)], i_emb_all, self.max_k,
-                block=self.item_block, exclude_mask=jnp.asarray(trn),
+        for blk_ids, (trn_rows, trn_cols), rel_items, rel_vals, actual in self._blocks:
+            _, top_rel = self._top_rel(
+                u_emb_all[blk_ids], i_emb_all, trn_rows, trn_cols,
+                rel_items, rel_vals, n_rows=int(blk_ids.shape[0]),
             )
-            top_idx = np.asarray(top_idx)
-            rel_rows = self.relevance_csr[blk]
-            top_rel = np.asarray(
-                rel_rows[np.repeat(np.arange(len(blk)), self.max_k), top_idx.reshape(-1)]
-            ).reshape(len(blk), self.max_k)
-            actual = np.asarray(rel_rows.sum(axis=1)).flatten()
+            top_rel = np.asarray(top_rel)
             ranks = np.arange(1, self.max_k + 1)
             gains = 1.0 / np.log1p(ranks)
             cum_hits = np.cumsum(top_rel, axis=1)

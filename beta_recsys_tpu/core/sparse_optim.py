@@ -169,15 +169,23 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
     total_rows = _acc
 
     def _pack_unified(params, moments):
-        """One (total_rows, 3, w_max) [param|m|v] array for every role table."""
-        u = jnp.zeros((total_rows, 3, w_max), jnp.float32)
+        """One (total_rows, 3*w_max) [param|m|v] array for every role table.
+
+        2-D, NOT (rows, 3, w): TPU tiles the last two dims, so a (N, 3, 65)
+        array is physically (N, 4, 128) — 2.6x the bytes on every gather,
+        scatter, and copy. (N, 195) tiles to 256 lanes (1.3x) instead.
+        """
+        u = jnp.zeros((total_rows, 3 * w_max), jnp.float32)
         for role in role_order:
             b0, off = role_base[role], 0
             for n, w, nd in roles[role]:
                 srcs = (params[n], moments[n][0], moments[n][1])
                 for comp, s in enumerate(srcs):
                     s2 = s[:, None] if nd == 1 else s
-                    u = u.at[b0 : b0 + role_rows[role], comp, off : off + w].set(s2)
+                    u = u.at[
+                        b0 : b0 + role_rows[role],
+                        comp * w_max + off : comp * w_max + off + w,
+                    ].set(s2)
                 off += w
         return u
 
@@ -187,7 +195,10 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
             b0, off = role_base[role], 0
             for n, w, nd in roles[role]:
                 def sl(comp):
-                    s = u[b0 : b0 + role_rows[role], comp, off : off + w]
+                    s = u[
+                        b0 : b0 + role_rows[role],
+                        comp * w_max + off : comp * w_max + off + w,
+                    ]
                     return s[:, 0] if nd == 1 else s
                 params_out[n] = sl(0)
                 moments_out[n] = (sl(1), sl(2))
@@ -240,8 +251,8 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
                     s0 += ids_r.shape[0]
                 ids_u = jnp.concatenate(parts)
                 L = ids_u.shape[0]
-                rows_full = uarr[ids_u]  # (L, 3, w_max): ONE full-row gather
-                prow = rows_full[:, 0, :]
+                rows_full = uarr[ids_u]  # (L, 3*w_max): ONE full-row gather
+                prow = rows_full[:, :w_max]
 
                 def _rows_of(prow):
                     rows = {}
@@ -288,7 +299,8 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
                 g_d = jnp.where(first[:, None], summed[segid], 0.0)
                 rows_s = rows_full[order2]  # permute the gathered buffer
 
-                m_r, v_r = rows_s[:, 1, :], rows_s[:, 2, :]
+                m_r = rows_s[:, w_max : 2 * w_max]
+                v_r = rows_s[:, 2 * w_max :]
                 new_step = step_i + 1
                 step_f = new_step.astype(jnp.float32)
                 m_new = b1 * m_r + (1 - b1) * g_d
@@ -298,30 +310,49 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
                 delta = -lr * m_hat / (jnp.sqrt(v_hat) + eps)
 
                 # per-TABLE lazy "touched" masks (exact XLA-path semantics):
-                # role membership from the sorted ids' row-block, per-table
-                # any-nonzero over that table's column slice of the deduped g
-                mask = jnp.zeros((L, w_max), jnp.float32)
-                for role in role_order:
-                    b0 = role_base[role]
-                    ind = (
-                        (ids_s >= b0) & (ids_s < b0 + role_rows[role])
-                    ).astype(jnp.float32)[:, None]
+                # per-table any-nonzero over that table's column slice of the
+                # deduped g. When every role has the same column boundaries
+                # (e.g. MF: [emb|bias] on both sides) a row's slice belongs to
+                # exactly one table for ANY role, so no role-membership
+                # indicator is needed — this saves ~10 ops/step in the scan
+                # body, where fixed per-op cost dominates at these shapes.
+                same_boundaries = len(
+                    {tuple(w for _, w, _ in roles[r]) for r in role_order}
+                ) == 1
+                if same_boundaries:
                     off, blocks = 0, []
-                    for n, w, nd in roles[role]:
+                    for n, w, nd in roles[role_order[0]]:
                         t = jnp.any(g_d[:, off : off + w] != 0, axis=1, keepdims=True)
-                        blocks.append(
-                            jnp.broadcast_to(t.astype(jnp.float32), (L, w))
-                        )
+                        blocks.append(jnp.broadcast_to(t.astype(jnp.float32), (L, w)))
                         off += w
-                    pad = w_max - role_width[role]
+                    pad = w_max - role_width[role_order[0]]
                     if pad:
                         blocks.append(jnp.zeros((L, pad), jnp.float32))
-                    mask = mask + ind * jnp.concatenate(blocks, axis=1)
+                    mask = jnp.concatenate(blocks, axis=1)
+                else:
+                    # role membership from the sorted ids' row-block
+                    mask = jnp.zeros((L, w_max), jnp.float32)
+                    for role in role_order:
+                        b0 = role_base[role]
+                        ind = (
+                            (ids_s >= b0) & (ids_s < b0 + role_rows[role])
+                        ).astype(jnp.float32)[:, None]
+                        off, blocks = 0, []
+                        for n, w, nd in roles[role]:
+                            t = jnp.any(g_d[:, off : off + w] != 0, axis=1, keepdims=True)
+                            blocks.append(
+                                jnp.broadcast_to(t.astype(jnp.float32), (L, w))
+                            )
+                            off += w
+                        pad = w_max - role_width[role]
+                        if pad:
+                            blocks.append(jnp.zeros((L, pad), jnp.float32))
+                        mask = mask + ind * jnp.concatenate(blocks, axis=1)
 
-                upd = jnp.stack(
+                upd = jnp.concatenate(
                     [mask * delta, mask * (m_new - m_r), mask * (v_new - v_r)],
                     axis=1,
-                )  # (L, 3, w_max)
+                )  # (L, 3*w_max)
                 # NOT indices_are_sorted=True: profiled 5x SLOWER at B=8192
                 # on v5e (tools/prof_scatter_rows.py) — XLA picks a worse
                 # lowering for the sorted hint at this shape.

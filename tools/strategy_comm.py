@@ -3,10 +3,10 @@
 Wall-clock on the virtual CPU mesh is meaningless, but the compiled HLO's
 collective bytes are the real wire model (identical program on real chips).
 This sweeps {lookup_strategy} x {grad_exchange} for the sharded sparse
-trainer at the production batch shape (B=8192, d=64 padded to 128 by the
-kernel path only on TPU — here the XLA row update runs, same collectives) on
-a (4, 2) virtual mesh and writes per-step per-device collective bytes into
-BENCH_DETAILS.json under "sharded_sparse_comm_model".
+trainer at the production batch shape (B=8192, d=64) on a (data=2, model=4)
+virtual mesh — n_model=4 so the bucketed exchange's n_model/capacity_factor
+= 2x wire saving is visible — and writes per-step per-device collective
+bytes into BENCH_DETAILS.json under "sharded_sparse_comm_model".
 
 Table height doesn't affect collective bytes (only B, d, capacity do), so a
 small table keeps the sweep fast while the byte numbers transfer to 1M-row
@@ -56,7 +56,7 @@ def main():
     cfg = {"model": "MF", "emb_dim": d, "loss": "bpr", "lr": 0.01}
     model = MF(cfg, n_users, n_items)
     sampler = lambda key, users, shape: uniform_negatives(key, shape, n_items)
-    mesh = make_mesh(n_data=4, n_model=2)
+    mesh = make_mesh(n_data=2, n_model=4)
     table_names = list(model.row_tables())
 
     results = {}
@@ -85,9 +85,11 @@ def main():
             if lookup == "ring":
                 # the Pallas ring's remote DMAs are invisible to HLO; its wire
                 # cost is (n_model-1)/n_model * bucket bytes per link
-                cap = -(-(-(-batch // 4) // 2) * 2 // 8) * 8  # capacity at cf=2.0
+                n_model, n_data = 4, 2
+                local_b = batch // n_data
+                cap = -(-int(-(-local_b // n_model) * 2.0) // 8) * 8  # cf=2.0
                 results[key]["ring_dma_link_bytes_per_table"] = int(
-                    cap * d * 4 * (2 - 1) / 2
+                    cap * d * 4 * (n_model - 1) / n_model
                 )
             print(key, json.dumps(results[key]))
 
@@ -97,7 +99,7 @@ def main():
     except Exception:
         merged = {}
     merged["sharded_sparse_comm_model"] = {
-        "mesh": "(data=4, model=2)", "batch": batch, "emb_dim": d,
+        "mesh": "(data=2, model=4)", "batch": batch, "emb_dim": d,
         "strategies": results,
         "note": "per-device per-step HLO collective bytes; ring remote-DMA "
                 "bytes accounted separately (not HLO-visible)",
