@@ -270,6 +270,64 @@ def _ncf_production_flops(n_inter, num_neg=4, emb_dim=256, n_layers=4):
     return 3 * rows * per_row
 
 
+def bench_sasrec_production(n_users=50_000, n_items=20_000, per_user=40, n_epochs=2):
+    """SASRec at a production population (50k users, maxlen 200, B=512):
+    the ml-100k shape runs only 7 steps/epoch and is launch-latency-bound
+    (1.5% MXU); this measures the sustained rate, fp32 vs bf16.
+    """
+    import jax
+    import pandas as pd
+
+    from beta_recsys_tpu.core.train_engine import (
+        make_negative_sampler,
+        make_optimizer,
+        make_sequence_epoch_fn,
+    )
+    from beta_recsys_tpu.data.sequential_data import SequentialData
+    from beta_recsys_tpu.models.sasrec import SASRec
+    from beta_recsys_tpu.utils.constants import (
+        DEFAULT_ITEM_COL,
+        DEFAULT_RATING_COL,
+        DEFAULT_TIMESTAMP_COL,
+        DEFAULT_USER_COL,
+    )
+
+    rng = np.random.default_rng(0)
+    n_inter = n_users * per_user
+    df = pd.DataFrame(
+        {
+            DEFAULT_USER_COL: np.repeat(np.arange(n_users), per_user),
+            DEFAULT_ITEM_COL: rng.integers(0, n_items, n_inter),
+            DEFAULT_RATING_COL: np.ones(n_inter, np.float32),
+            DEFAULT_TIMESTAMP_COL: np.tile(np.arange(per_user), n_users),
+        }
+    )
+    data = SequentialData((df, [], []), intersect=False)
+    maxlen = 200
+    cfg = {
+        "model": "SASRec", "emb_dim": 64, "maxlen": maxlen, "num_blocks": 2,
+        "num_heads": 2, "dropout_rate": 0.1, "l2_emb": 0.0, "batch_size": 512,
+        "optimizer": "adam", "lr": 0.001,
+    }
+    model = SASRec(cfg, data.n_users, data.n_items)
+    optimizer = make_optimizer(cfg)
+    neg_sampler = make_negative_sampler(data, "bitmask")
+    seq_arrays = data.train_seq_arrays(maxlen)
+    out = {}
+    for label, dt_ in (("fp32", None), ("bf16", "bfloat16")):
+        params = model.init_params(jax.random.key(0))
+        opt_state = optimizer.init(params)
+        epoch_fn = make_sequence_epoch_fn(
+            model, optimizer, seq_arrays, cfg["batch_size"], neg_sampler,
+            donate=False, compute_dtype=dt_,
+        )
+        t = _time_epochs(epoch_fn, params, opt_state, jax.random.key(1), n_epochs)
+        n_steps = max(len(seq_arrays["users"]) // cfg["batch_size"], 1)
+        out[label] = (n_steps * cfg["batch_size"] / t, t)
+    n_seqs = (len(seq_arrays["users"]) // 512) * 512
+    return out, _sasrec_flops(n_seqs, maxlen, 64, 2)
+
+
 def bench_sparse_large(n_users=1_000_000, n_items=100_000, n_inter=2_000_000, n_epochs=1):
     """Sparse (lazy-Adam) MF at production scale on synthetic interactions."""
     import jax
@@ -395,6 +453,18 @@ def main(full=False):
             "examples_per_sec": ncf16_eps,
             "epoch_sec": ncf16_dt,
             "speedup_vs_fp32": ncf16_eps / ncf_eps,
+        }
+
+        # Production population for SASRec: sustained step rate, fp32 vs bf16.
+        sas_prod, sas_prod_flops = bench_sasrec_production()
+        details["sasrec_production_50k_users"] = {
+            "fp32_sequences_per_sec": sas_prod["fp32"][0],
+            "fp32_epoch_sec": sas_prod["fp32"][1],
+            "bf16_sequences_per_sec": sas_prod["bf16"][0],
+            "bf16_epoch_sec": sas_prod["bf16"][1],
+            "bf16_speedup_vs_fp32": sas_prod["bf16"][0] / sas_prod["fp32"][0],
+            "fp32_roofline": _roofline_flops(sas_prod_flops, sas_prod["fp32"][1]),
+            "bf16_roofline": _roofline_flops(sas_prod_flops, sas_prod["bf16"][1]),
         }
 
         # Production tower shape: d=256 / 4-layer MLP / B=8192 — MXU-bound,

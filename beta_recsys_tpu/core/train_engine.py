@@ -589,6 +589,17 @@ class TrainEngine:
             lr = float(model_cfg.get("lr", 1e-3))
             table_names = list(model.row_tables())
             if self.mesh is not None:
+                # Exchange strategies are config-overridable. Defaults by
+                # regime (tools/strategy_comm.py wire model, BENCH_DETAILS
+                # sharded_sparse_comm_model): the owner-filtered "bucketed"
+                # exchange moves n_model/capacity_factor x fewer bytes than
+                # the full all_gather and is exact while unique owned ids fit
+                # capacity (capacity_factor sizes the headroom), so it is the
+                # default once the model axis is wide enough to pay
+                # (n_model >= 4: 3.8x less wire traffic); 2-way sharding
+                # keeps the exact all_gather (same bytes either way).
+                n_model = self.mesh.shape["model"]
+                default_exchange = "bucketed" if n_model >= 4 else "allgather"
                 self.epoch_fn = make_sharded_sparse_epoch_fn(
                     model,
                     data.train_arrays(),
@@ -598,6 +609,9 @@ class TrainEngine:
                     mesh=self.mesh,
                     dense_optimizer=self.optimizer,
                     compute_dtype=compute_dtype,
+                    lookup_strategy=model_cfg.get("lookup_strategy", "psum"),
+                    grad_exchange=model_cfg.get("grad_exchange", default_exchange),
+                    capacity_factor=float(model_cfg.get("capacity_factor", 2.0)),
                 )
                 # Place params: row tables padded to the model axis and
                 # sharded (pad rows are never touched by training or by

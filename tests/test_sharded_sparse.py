@@ -282,3 +282,39 @@ def test_sharded_sparse_checkpoint_resume(setup, tmp_path):
         assert "model" in str(engine2.params[k].sharding.spec), k
     result = engine2.train(max_epoch=start + 2, verbose=False)
     assert np.isfinite(result["valid_metric"])
+
+
+def test_engine_picks_bucketed_exchange_at_wide_model_axis(setup, tmp_path):
+    """TrainEngine defaults grad_exchange to "bucketed" once n_model >= 4
+    (the wire-optimal regime per the strategy comm model) and still learns;
+    model config can override the strategy explicitly."""
+    from beta_recsys_tpu.config import Config
+    from beta_recsys_tpu.core.train_engine import TrainEngine
+    from beta_recsys_tpu.models import build_model
+
+    data, _ = setup
+    cfg = Config(
+        {
+            "system": {"root_dir": str(tmp_path), "metrics": ["ndcg"], "k": [10],
+                       "valid_metric": "ndcg", "valid_k": 10, "seed": 11,
+                       "mesh": {"data": 2, "model": 4}},
+            "dataset": {"dataset": "synthetic"},
+            "model": {"model": "MF", "loss": "bpr", "emb_dim": 16,
+                      "batch_size": 128, "optimizer": "adam", "lr": 0.05,
+                      "max_epoch": 30, "max_n_update": 30,
+                      "sparse_optim": True},
+        }
+    )
+    model = build_model(cfg.model, data.n_users, data.n_items)
+    engine = TrainEngine(cfg)
+    engine.build(model, data, data.eval_candidates(data.valid[0]), None)
+    result = engine.train(verbose=False)
+    assert result["valid_metric"] > 0.32, result
+
+    # explicit override also builds and trains
+    cfg2 = cfg.replace(model={"grad_exchange": "allgather", "lookup_strategy": "psum"})
+    model2 = build_model(cfg2.model, data.n_users, data.n_items)
+    engine2 = TrainEngine(cfg2)
+    engine2.build(model2, data, data.eval_candidates(data.valid[0]), None)
+    r2 = engine2.train(verbose=False)
+    assert r2["valid_metric"] > 0.32, r2
