@@ -112,8 +112,15 @@ class FullCatalogEvaluator:
         # every epoch). The dense (B, n_items) relevance/train-mask blocks are
         # now built ON DEVICE by a scatter from these cached index arrays —
         # the host does no per-eval work beyond handing over cached arrays.
+        # non-canonical CSRs (explicit duplicate entries) must sum, matching
+        # the todense() semantics this scatter path replaced (r3 advisor)
+        relevance_csr = relevance_csr.copy()
+        relevance_csr.sum_duplicates()
+        train_csr = train_csr.copy()
+        train_csr.sum_duplicates()
+
         B = user_block
-        n_blocks = max(-(-len(self.users) // B), 1)
+        n_blocks = -(-len(self.users) // B)  # 0 users -> no blocks (r3 advisor)
         blocks = []
         for start in range(0, n_blocks * B, B):
             blk = self.users[start : start + B]
@@ -212,29 +219,54 @@ class TopKRetrievalEvaluator:
         # hands cached arrays to the device: the train exclude-mask is built
         # by an on-device scatter, and top-item relevance by an on-device
         # padded-membership compare against each user's relevant-item list.
+        # All blocks are padded to ONE shape (user rows to user_block, train
+        # COO to the global max nnz, relevance lists to the global max R) so
+        # the jitted _top_rel compiles exactly once — block-dependent shapes
+        # previously retraced per block: hundreds of XLA compiles on first
+        # eval at ml-25m scale (r3 advisor). Padded user rows carry zero
+        # relevance and actual=0, so every metric term they produce is 0;
+        # padded COO entries scatter to row B -> mode="drop". Mirrors
+        # FullCatalogEvaluator's "one jit" padding.
+        relevance_csr = relevance_csr.copy()
+        relevance_csr.sum_duplicates()
+        train_csr = train_csr.copy()
+        train_csr.sum_duplicates()
         n_items = model.n_items
         B = user_block
-        self._blocks = []
+        raw_blocks = []
         for start in range(0, len(self.users), B):
             blk = self.users[start : start + B]
-            sub = train_csr[blk].tocoo()
+            n_real = len(blk)
+            blk_padded = np.pad(blk, (0, B - n_real), mode="edge") if n_real < B else blk
+            sub = train_csr[blk_padded].tocoo()
             rel_rows = relevance_csr[blk]
-            r_per_user = np.diff(rel_rows.indptr)
-            R = max(int(r_per_user.max()) if len(r_per_user) else 1, 1)
-            rel_items = np.full((len(blk), R), n_items, np.int32)  # n_items = "none"
-            rel_vals = np.zeros((len(blk), R), np.float32)
-            for i in range(len(blk)):
+            raw_blocks.append((blk_padded, n_real, sub, rel_rows))
+        max_nnz = max((len(b[2].row) for b in raw_blocks), default=1) or 1
+        max_R = max(
+            (int(np.diff(b[3].indptr).max()) if b[3].indptr[-1] else 1 for b in raw_blocks),
+            default=1,
+        ) or 1
+        self._blocks = []
+        for blk_padded, n_real, sub, rel_rows in raw_blocks:
+            trn_rows = np.full(max_nnz, B, np.int32)  # row B -> dropped
+            trn_cols = np.zeros(max_nnz, np.int32)
+            trn_rows[: len(sub.row)] = sub.row
+            trn_cols[: len(sub.col)] = sub.col
+            rel_items = np.full((B, max_R), n_items, np.int32)  # n_items = "none"
+            rel_vals = np.zeros((B, max_R), np.float32)
+            for i in range(n_real):
                 s, e = rel_rows.indptr[i], rel_rows.indptr[i + 1]
                 rel_items[i, : e - s] = rel_rows.indices[s:e]
                 rel_vals[i, : e - s] = rel_rows.data[s:e]
+            actual = np.zeros(B, np.float64)
+            actual[:n_real] = np.asarray(rel_rows.sum(axis=1)).flatten()
             self._blocks.append(
                 (
-                    jnp.asarray(blk),
-                    (jnp.asarray(sub.row.astype(np.int32)),
-                     jnp.asarray(sub.col.astype(np.int32))),
+                    jnp.asarray(blk_padded),
+                    (jnp.asarray(trn_rows), jnp.asarray(trn_cols)),
                     jnp.asarray(rel_items),
                     jnp.asarray(rel_vals),
-                    np.asarray(rel_rows.sum(axis=1)).flatten(),
+                    actual,
                 )
             )
 

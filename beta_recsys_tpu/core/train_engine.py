@@ -760,6 +760,20 @@ class TrainEngine:
             )
             loss = float(loss)
             train_time = time.time() - t0
+            # Bucketed-exchange overflow: gradient rows dropped on capacity
+            # overflow are counted on device (sparse_optim._bucket_by_owner)
+            # and surfaced here per epoch — never silent (r3 advisor).
+            if self._sparse_optim and isinstance(self.opt_state, tuple):
+                dropped = int(self.opt_state[0].get("dropped", 0))
+                prev = getattr(self, "_dropped_grad_rows", 0)
+                if dropped > prev:
+                    print(
+                        f"WARNING: sharded-sparse bucketed exchange dropped "
+                        f"{dropped - prev} gradient rows this epoch "
+                        f"(cumulative {dropped}) — raise model config "
+                        f"capacity_factor or set grad_exchange='allgather'"
+                    )
+                self._dropped_grad_rows = dropped
             valid_result = (
                 self.valid_evaluator.evaluate(self.params) if self.valid_evaluator else {}
             )
