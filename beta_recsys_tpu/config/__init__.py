@@ -69,8 +69,40 @@ class Config:
 
     SECTIONS = ("system", "dataset", "model", "tunable")
 
+    # flat-legacy key routing (reference configs/cmn_default.json has no
+    # system/dataset/model sections — everything at top level)
+    _FLAT_SYSTEM_KEYS = frozenset({
+        "root_dir", "log_dir", "result_dir", "checkpoint_dir", "dataset_dir",
+        "process_dir", "pretrain_dir", "run_dir", "tune_dir", "device",
+        "seed", "metrics", "k", "valid_metric", "validate_metric", "valid_k",
+        "result_file", "save_mode",
+    })
+    _FLAT_DATASET_KEYS = frozenset({
+        "dataset", "data_split", "download", "random", "test_rate", "by_user",
+        "n_test", "n_negative", "percent",
+    })
+
+    @classmethod
+    def _sectionize_flat(cls, raw):
+        """Route a reference flat-legacy config into the four sections."""
+        out = {"system": {}, "dataset": {}, "model": {}, "tunable": raw.get("tunable", [])}
+        for k, v in raw.items():
+            if k == "tunable":
+                continue
+            if k in cls._FLAT_SYSTEM_KEYS:
+                out["system"][k] = v
+            elif k in cls._FLAT_DATASET_KEYS:
+                out["dataset"][k] = v
+            else:
+                out["model"][k] = v
+        return out
+
     def __init__(self, raw):
         raw = copy.deepcopy(raw)
+        if not isinstance(raw.get("model", {}), dict) or not isinstance(
+            raw.get("dataset", {}), dict
+        ):
+            raw = self._sectionize_flat(raw)
         object.__setattr__(self, "system", ConfigSection(raw.get("system", {})))
         object.__setattr__(self, "dataset", ConfigSection(raw.get("dataset", {})))
         object.__setattr__(self, "model", ConfigSection(raw.get("model", {})))
@@ -81,6 +113,11 @@ class Config:
 
     def __getitem__(self, key):
         return getattr(self, key)
+
+    def __contains__(self, key):
+        # without this, `"dataset" in config` falls back to integer-index
+        # iteration via __getitem__ and raises TypeError
+        return key in self.SECTIONS
 
     def to_dict(self):
         return {

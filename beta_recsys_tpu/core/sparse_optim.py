@@ -622,56 +622,20 @@ def make_sharded_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, l
         cap = max(int(-(-n_ids // n_model) * capacity_factor), 1)
         return -(-cap // 8) * 8  # sublane alignment for ring blocks
 
-    def _gather_psum(local_table, ids):
-        shard = jax.lax.axis_index(MODEL_AXIS)
-        rows_per = local_table.shape[0]
-        loc = ids - shard * rows_per
-        ok = (loc >= 0) & (loc < rows_per)
-        safe = jnp.clip(loc, 0, rows_per - 1)
-        r = local_table[safe]
-        mask = ok[..., None] if r.ndim > ok.ndim else ok
-        return jax.lax.psum(jnp.where(mask, r, 0.0), MODEL_AXIS)
-
-    def _gather_ring(local_table, ids, collective_id):
-        """Bucket owned rows, ride the Pallas ring all-gather, scatter back.
-
-        Same bucketing as parallel.embedding.rdma_bucketed_gather, operating
-        on this data shard's local ids (2-D tables only; 1-D bias tables use
-        the psum path — their rows are 4 bytes, bucketing cannot pay).
-        """
-        from ..ops.pallas.ring_exchange import ring_allgather
-
-        shard = jax.lax.axis_index(MODEL_AXIS)
-        rows_per = local_table.shape[0]
-        b = ids.shape[0]
-        capacity = _capacity_for(b)
-        owner = ids // rows_per
-        one_hot = jax.nn.one_hot(owner, n_model, dtype=jnp.int32)
-        slot = jnp.cumsum(one_hot, axis=0)[jnp.arange(b), owner] - 1
-        in_cap = slot < capacity
-        write_slot = jnp.where(in_cap, slot, capacity)
-        positions = jnp.full((n_model, capacity), b, jnp.int32)
-        positions = positions.at[owner, write_slot].set(
-            jnp.arange(b, dtype=jnp.int32), mode="drop"
-        )
-        my_pos = positions[shard]
-        req_valid = my_pos < b
-        safe_pos = jnp.where(req_valid, my_pos, 0)
-        loc = ids[safe_pos] - shard * rows_per
-        ok = (loc >= 0) & (loc < rows_per) & req_valid
-        rows = local_table[jnp.clip(loc, 0, rows_per - 1)]
-        rows = jnp.where(ok[:, None], rows, 0.0)
-        all_rows = ring_allgather(rows, MODEL_AXIS, collective_id)
-        flat_pos = positions.reshape(-1)
-        flat_rows = all_rows.reshape(n_model * capacity, local_table.shape[1])
-        return jnp.zeros((b, local_table.shape[1]), flat_rows.dtype).at[flat_pos].add(
-            flat_rows, mode="drop"
-        )
+    # ONE bucketing/gather implementation serves both the standalone lookup
+    # API and this trainer (VERDICT r3 #9): the inside-shard_map primitives
+    # live in parallel.embedding.
+    from ..parallel.embedding import local_psum_gather, local_ring_gather
 
     def _gather(local_table, ids, collective_id):
+        # ring lookup is 2-D tables only; 1-D bias tables use the psum path —
+        # their rows are 4 bytes, bucketing cannot pay
         if lookup_strategy == "ring" and local_table.ndim == 2 and n_model > 1:
-            return _gather_ring(local_table, ids, collective_id)
-        return _gather_psum(local_table, ids)
+            return local_ring_gather(
+                local_table, ids, n_model, _capacity_for(ids.shape[0]),
+                collective_id,
+            )
+        return local_psum_gather(local_table, ids)
 
     @functools.partial(
         shard_map,

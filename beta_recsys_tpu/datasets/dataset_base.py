@@ -233,17 +233,53 @@ class DatasetBase:
         return self._load_split("temporal_basket", test_rate, False, n_negative, by_user, n_test, download)
 
     def load_split(self, config):
-        """Config-driven split dispatch (reference dataset_base.py:909-980)."""
-        ds = config["dataset"] if "dataset" in config and isinstance(config["dataset"], dict) else config
+        """Config-driven split dispatch (reference dataset_base.py:909-980).
+
+        Accepts every split name the reference's mapping does
+        ("random_split", "random_basket_split", "temporal", "temporal_basket",
+        "leave_one_out", "leave_one_basket") plus this repo's canonical short
+        names, forwards the config's ``download`` flag, and applies the
+        reference's n_negative<0 -> n_test=1 normalization (full-negative
+        eval sets come as a single copy).
+        """
+        # accept a full Config/dict (use its dataset section) or a bare
+        # dataset-section mapping
+        if hasattr(config, "dataset") and not isinstance(config, dict):
+            ds = config.dataset
+        elif isinstance(config, dict) and isinstance(config.get("dataset"), dict):
+            ds = config["dataset"]
+        else:
+            ds = config
         split = ds.get("data_split", "leave_one_out")
+        aliases = {
+            "random": "random_split",
+            "random_basket": "random_basket_split",
+            "temporal": "temporal_split",
+            "temporal_basket": "temporal_basket_split",
+            "random_split": "random_split",
+            "random_basket_split": "random_basket_split",
+            "temporal_split": "temporal_split",
+            "temporal_basket_split": "temporal_basket_split",
+            "leave_one_out": "leave_one_out",
+            "leave_one_basket": "leave_one_basket",
+        }
+        if split not in aliases:
+            raise KeyError(
+                f"Unknown data_split {split!r}; accepted: {sorted(set(aliases))}"
+            )
+        canonical = aliases[split]
+        n_test = int(ds.get("n_test", 10))
+        n_negative = int(ds.get("n_negative", 100))
+        if n_negative < 0 and n_test > 1:
+            n_test = 1
         kwargs = dict(
-            n_negative=ds.get("n_negative", 100),
-            n_test=ds.get("n_test", 10),
+            n_negative=n_negative,
+            n_test=n_test,
+            download=bool(ds.get("download", False)),
         )
-        if split in ("leave_one_out", "leave_one_basket"):
+        if canonical in ("leave_one_out", "leave_one_basket"):
             kwargs["random"] = ds.get("random", False)
         else:
             kwargs["test_rate"] = ds.get("test_rate", 0.1)
             kwargs["by_user"] = ds.get("by_user", False)
-        loader = getattr(self, f"load_{split}" if split.startswith("leave") else f"load_{split}_split")
-        return loader(**kwargs)
+        return getattr(self, f"load_{canonical}")(**kwargs)

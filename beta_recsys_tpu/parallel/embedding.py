@@ -43,6 +43,78 @@ def pad_table(table, axis_size):
     return jnp.concatenate([table, jnp.zeros((target - n, d), table.dtype)], axis=0)
 
 
+def local_psum_gather(local_table, ids, axis=MODEL_AXIS):
+    """Inside-shard_map primitive: complete the rows of global ``ids`` from
+    this device's table shard with ONE psum over ``axis``.
+
+    The single implementation behind psum_gather, psum_gather_sharded_batch,
+    and the sharded sparse trainer's lookup (core/sparse_optim, VERDICT r3 #9
+    consolidation). ``local_table`` is this shard's (rows_per, d) or
+    (rows_per,) slice; rows owned elsewhere contribute zeros before the psum.
+    """
+    shard_idx = jax.lax.axis_index(axis)
+    rows_per_shard = local_table.shape[0]
+    local_ids = ids - shard_idx * rows_per_shard
+    in_range = (local_ids >= 0) & (local_ids < rows_per_shard)
+    rows = local_table[jnp.clip(local_ids, 0, rows_per_shard - 1)]
+    mask = in_range[..., None] if rows.ndim > in_range.ndim else in_range
+    return jax.lax.psum(jnp.where(mask, rows, 0.0), axis)
+
+
+def bucket_positions(ids, n_model, capacity, rows_per_shard):
+    """Owner-bucketed routing table for a batch of global row ids.
+
+    Returns (n_model, capacity) int32 ``positions``: positions[s, c] is the
+    batch index whose row model-shard ``s`` must serve in bucket slot ``c``,
+    or len(ids) for empty/overflow slots. Shared by every bucketed exchange
+    (bucketed_psum_gather, rdma_bucketed_gather, the sharded sparse ring
+    lookup) so capacity/overflow semantics cannot drift apart.
+    """
+    b = ids.shape[0]
+    owner = ids // rows_per_shard
+    one_hot = jax.nn.one_hot(owner, n_model, dtype=jnp.int32)
+    slot = jnp.cumsum(one_hot, axis=0)[jnp.arange(b), owner] - 1
+    write_slot = jnp.where(slot < capacity, slot, capacity)
+    positions = jnp.full((n_model, capacity), b, jnp.int32)
+    return positions.at[owner, write_slot].set(
+        jnp.arange(b, dtype=jnp.int32), mode="drop"
+    )
+
+
+def local_ring_gather(local_table, ids, n_model, capacity, collective_id, axis=MODEL_AXIS):
+    """Inside-shard_map primitive: bucketed lookup whose response leg is the
+    Pallas ring all-gather (ops/pallas/ring_exchange.py).
+
+    Each shard serves only the rows it owns (bucket of ``capacity``), buckets
+    ride the ring — each byte crossing each ICI link once — and every shard
+    scatters the n_model buckets back to batch positions. Overflow ids yield
+    zero rows. The single implementation behind rdma_bucketed_gather and the
+    sharded sparse trainer's "ring" lookup.
+    """
+    from ..ops.pallas.ring_exchange import ring_allgather
+
+    b = ids.shape[0]
+    rows_per_shard = local_table.shape[0]
+    d = local_table.shape[1]
+    positions = bucket_positions(ids, n_model, capacity, rows_per_shard)
+    shard_idx = jax.lax.axis_index(axis)
+    my_pos = positions[shard_idx]
+    req_valid = my_pos < b
+    safe_pos = jnp.where(req_valid, my_pos, 0)
+    local = ids[safe_pos] - shard_idx * rows_per_shard
+    ok = (local >= 0) & (local < rows_per_shard) & req_valid
+    rows = local_table[jnp.clip(local, 0, rows_per_shard - 1)]
+    rows = jnp.where(ok[:, None], rows, 0.0)  # (capacity, d)
+
+    all_rows = ring_allgather(rows, axis, collective_id)
+    flat_pos = positions.reshape(-1)
+    flat_rows = all_rows.reshape(n_model * capacity, d)
+    # Empty slots carry flat_pos == b -> dropped by out-of-bounds mode.
+    return jnp.zeros((b, d), flat_rows.dtype).at[flat_pos].add(
+        flat_rows, mode="drop"
+    )
+
+
 def psum_gather(table, ids, mesh):
     """Sharded-table lookup: table row-sharded over "model", ids replicated.
 
@@ -53,7 +125,6 @@ def psum_gather(table, ids, mesh):
     Returns:
         (..., d) embeddings, replicated over "model".
     """
-    axis_size = mesh.shape[MODEL_AXIS]
 
     @functools.partial(
         shard_map,
@@ -62,15 +133,7 @@ def psum_gather(table, ids, mesh):
         out_specs=P(),
     )
     def lookup(local_table, ids_rep):
-        shard_idx = jax.lax.axis_index(MODEL_AXIS)
-        rows_per_shard = local_table.shape[0]
-        lo = shard_idx * rows_per_shard
-        local_ids = ids_rep - lo
-        in_range = (local_ids >= 0) & (local_ids < rows_per_shard)
-        safe_ids = jnp.clip(local_ids, 0, rows_per_shard - 1)
-        local_emb = local_table[safe_ids]
-        local_emb = jnp.where(in_range[..., None], local_emb, 0.0)
-        return jax.lax.psum(local_emb, MODEL_AXIS)
+        return local_psum_gather(local_table, ids_rep)
 
     return lookup(table, ids)
 
@@ -93,14 +156,7 @@ def psum_gather_sharded_batch(table, ids, mesh):
         out_specs=P(DATA_AXIS, None),
     )
     def lookup(local_table, local_ids):
-        shard_idx = jax.lax.axis_index(MODEL_AXIS)
-        rows_per_shard = local_table.shape[0]
-        lo = shard_idx * rows_per_shard
-        local = local_ids - lo
-        in_range = (local >= 0) & (local < rows_per_shard)
-        safe = jnp.clip(local, 0, rows_per_shard - 1)
-        emb = jnp.where(in_range[:, None], local_table[safe], 0.0)
-        return jax.lax.psum(emb, MODEL_AXIS)
+        return local_psum_gather(local_table, local_ids)
 
     return lookup(table, ids)
 
@@ -134,19 +190,7 @@ def bucketed_psum_gather(table, ids, mesh, capacity_factor=2.0):
     def lookup(local_table, local_ids):
         local_b = local_ids.shape[0]
         capacity = max(int(-(-local_b // n_model) * capacity_factor), 1)
-
-        owner = local_ids // rows_per_shard  # (local_b,)
-        one_hot = jax.nn.one_hot(owner, n_model, dtype=jnp.int32)
-        slot = jnp.cumsum(one_hot, axis=0)[jnp.arange(local_b), owner] - 1
-        in_cap = slot < capacity
-
-        # buckets[(owner, slot)] = position in the local batch; overflow gets
-        # an out-of-bounds slot so mode="drop" discards the write.
-        write_slot = jnp.where(in_cap, slot, capacity)
-        positions = jnp.full((n_model, capacity), local_b, jnp.int32)
-        positions = positions.at[owner, write_slot].set(
-            jnp.arange(local_b, dtype=jnp.int32), mode="drop"
-        )
+        positions = bucket_positions(local_ids, n_model, capacity, rows_per_shard)
 
         shard_idx = jax.lax.axis_index(MODEL_AXIS)
         my_positions = positions[shard_idx]  # (capacity,)
@@ -179,11 +223,7 @@ def rdma_bucketed_gather(table, ids, mesh, capacity_factor=2.0, collective_id=1)
     reduce-scatters cotangent buckets, then local scatter-add into the table
     shard (tables never leave their shard).
     """
-    from ..ops.pallas.ring_exchange import ring_allgather
-
     n_model = mesh.shape[MODEL_AXIS]
-    rows_per_shard = table.shape[0] // n_model
-    d = table.shape[1]
     b = ids.shape[0]
     capacity = max(int(-(-b // n_model) * capacity_factor), 1)
     capacity = -(-capacity // 8) * 8  # sublane alignment for the ring blocks
@@ -196,60 +236,6 @@ def rdma_bucketed_gather(table, ids, mesh, capacity_factor=2.0, collective_id=1)
         check_vma=False,
     )
     def lookup(local_table, ids_rep):
-        owner = ids_rep // rows_per_shard  # (b,)
-        one_hot = jax.nn.one_hot(owner, n_model, dtype=jnp.int32)
-        slot = jnp.cumsum(one_hot, axis=0)[jnp.arange(b), owner] - 1
-        in_cap = slot < capacity
-        write_slot = jnp.where(in_cap, slot, capacity)
-        # positions[(owner, slot)] = batch position; b marks "empty".
-        positions = jnp.full((n_model, capacity), b, jnp.int32)
-        positions = positions.at[owner, write_slot].set(
-            jnp.arange(b, dtype=jnp.int32), mode="drop"
-        )
-
-        shard_idx = jax.lax.axis_index(MODEL_AXIS)
-        my_pos = positions[shard_idx]
-        req_valid = my_pos < b
-        safe_pos = jnp.where(req_valid, my_pos, 0)
-        local = ids_rep[safe_pos] - shard_idx * rows_per_shard
-        ok = (local >= 0) & (local < rows_per_shard) & req_valid
-        rows = local_table[jnp.clip(local, 0, rows_per_shard - 1)]
-        rows = jnp.where(ok[:, None], rows, 0.0)  # (capacity, d)
-
-        all_rows = ring_allgather(rows, MODEL_AXIS, collective_id)
-        flat_pos = positions.reshape(-1)
-        flat_rows = all_rows.reshape(n_model * capacity, d)
-        # Empty slots carry flat_pos == b -> dropped by out-of-bounds mode.
-        return jnp.zeros((b, d), flat_rows.dtype).at[flat_pos].add(
-            flat_rows, mode="drop"
-        )
+        return local_ring_gather(local_table, ids_rep, n_model, capacity, collective_id)
 
     return lookup(table, ids)
-
-
-class ShardedEmbedding:
-    """A row-sharded embedding table with collective lookup.
-
-    Usage inside a model: hold the padded table in params, call
-    ``lookup(params_table, ids)``; gradients flow through psum_gather's
-    transpose to local scatter-adds on each shard.
-    """
-
-    def __init__(self, n_rows, dim, mesh, stddev=0.1):
-        self.n_rows = n_rows
-        self.dim = dim
-        self.mesh = mesh
-        self.stddev = stddev
-        self.axis_size = mesh.shape[MODEL_AXIS]
-        self.padded_rows = _local_rows(n_rows, self.axis_size) * self.axis_size
-
-    def init(self, rng):
-        table = self.stddev * jax.random.normal(
-            rng, (self.padded_rows, self.dim), jnp.float32
-        )
-        from jax.sharding import NamedSharding
-
-        return jax.device_put(table, NamedSharding(self.mesh, P(MODEL_AXIS, None)))
-
-    def lookup(self, table, ids):
-        return psum_gather(table, ids, self.mesh)

@@ -12,7 +12,7 @@ import optax
 import pytest
 
 from beta_recsys_tpu.models.mf import MF
-from beta_recsys_tpu.parallel.embedding import ShardedEmbedding, psum_gather, pad_table
+from beta_recsys_tpu.parallel.embedding import psum_gather, pad_table
 from beta_recsys_tpu.parallel.mesh import make_mesh
 from beta_recsys_tpu.parallel.sharding import (
     default_param_rule,
@@ -82,12 +82,16 @@ def test_psum_gather_matches_local(mesh):
 
 def test_psum_gather_gradients(mesh):
     """Autodiff through the collective lookup = local scatter-add of grads."""
-    emb = ShardedEmbedding(20, 4, mesh, stddev=0.1)
-    table = emb.init(jax.random.key(0))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_model = mesh.shape["model"]
+    table = 0.1 * jax.random.normal(jax.random.key(0), (20, 4))
+    table = jax.device_put(pad_table(table, n_model),
+                           NamedSharding(mesh, P("model", None)))
     ids = jnp.array([1, 1, 5], dtype=jnp.int32)
 
     def loss_fn(t):
-        return jnp.sum(emb.lookup(t, ids) ** 2)
+        return jnp.sum(psum_gather(t, ids, mesh) ** 2)
 
     g = jax.grad(loss_fn)(table)
     dense = np.asarray(table)
