@@ -1,9 +1,15 @@
 # Convenience targets (reference parity: Makefile / hack scripts)
 
-.PHONY: test bench native lint clean
+.PHONY: test test-fast bench native lint clean
 
 test:
 	python -m pytest tests/ -q
+
+# fast iteration tier (~2 min): shapes, metric/split goldens, dispatch,
+# sharding primitives; training loops / CLI smoke / interpret-mode
+# collectives are marked `slow` (tests/conftest.py) and stay in `make test`.
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py

