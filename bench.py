@@ -270,10 +270,12 @@ def _ncf_production_flops(n_inter, num_neg=4, emb_dim=256, n_layers=4):
     return 3 * rows * per_row
 
 
-def bench_sasrec_production(n_users=50_000, n_items=20_000, per_user=40, n_epochs=2):
+def bench_sasrec_production(n_users=50_000, n_items=20_000, per_user=40, n_epochs=2, emb_dim=64, variants=(("fp32", None, "auto"), ("bf16", "bfloat16", "auto"))):
     """SASRec at a production population (50k users, maxlen 200, B=512):
     the ml-100k shape runs only 7 steps/epoch and is launch-latency-bound
-    (1.5% MXU); this measures the sustained rate, fp32 vs bf16.
+    (1.5% MXU); this measures the sustained rate across (dtype, attention
+    impl) variants — each a (label, compute_dtype, fused_attention) triple,
+    where fused_attention True = the Pallas flash kernel, False = einsum.
     """
     import jax
     import pandas as pd
@@ -304,17 +306,18 @@ def bench_sasrec_production(n_users=50_000, n_items=20_000, per_user=40, n_epoch
     )
     data = SequentialData((df, [], []), intersect=False)
     maxlen = 200
-    cfg = {
-        "model": "SASRec", "emb_dim": 64, "maxlen": maxlen, "num_blocks": 2,
-        "num_heads": 2, "dropout_rate": 0.1, "l2_emb": 0.0, "batch_size": 512,
-        "optimizer": "adam", "lr": 0.001,
-    }
-    model = SASRec(cfg, data.n_users, data.n_items)
-    optimizer = make_optimizer(cfg)
     neg_sampler = make_negative_sampler(data, "bitmask")
     seq_arrays = data.train_seq_arrays(maxlen)
     out = {}
-    for label, dt_ in (("fp32", None), ("bf16", "bfloat16")):
+    for label, dt_, fused in variants:
+        cfg = {
+            "model": "SASRec", "emb_dim": emb_dim, "maxlen": maxlen,
+            "num_blocks": 2, "num_heads": 2, "dropout_rate": 0.1,
+            "l2_emb": 0.0, "batch_size": 512, "optimizer": "adam",
+            "lr": 0.001, "fused_attention": fused,
+        }
+        model = SASRec(cfg, data.n_users, data.n_items)
+        optimizer = make_optimizer(cfg)
         params = model.init_params(jax.random.key(0))
         opt_state = optimizer.init(params)
         epoch_fn = make_sequence_epoch_fn(
@@ -325,10 +328,10 @@ def bench_sasrec_production(n_users=50_000, n_items=20_000, per_user=40, n_epoch
         n_steps = max(len(seq_arrays["users"]) // cfg["batch_size"], 1)
         out[label] = (n_steps * cfg["batch_size"] / t, t)
     n_seqs = (len(seq_arrays["users"]) // 512) * 512
-    return out, _sasrec_flops(n_seqs, maxlen, 64, 2)
+    return out, _sasrec_flops(n_seqs, maxlen, emb_dim, 2)
 
 
-def bench_sparse_large(n_users=1_000_000, n_items=100_000, n_inter=2_000_000, n_epochs=1):
+def bench_sparse_large(n_users=1_000_000, n_items=100_000, n_inter=2_000_000, n_epochs=1, batch_size=8192, row_update="auto"):
     """Sparse (lazy-Adam) MF at production scale on synthetic interactions."""
     import jax
     import optax
@@ -348,12 +351,13 @@ def bench_sparse_large(n_users=1_000_000, n_items=100_000, n_inter=2_000_000, n_
         ratings=np.ones(n_inter, np.float32),
     )
     cfg = {"model": "MF", "emb_dim": 64, "loss": "bpr", "lr": 0.01,
-           "optimizer": "adam", "reg": 0.0, "batch_size": 8192}
+           "optimizer": "adam", "reg": 0.0, "batch_size": batch_size}
     model = MF(cfg, n_users, n_items)
     params = model.init_params(jax.random.key(0))
     sampler = lambda key, users, shape: uniform_negatives(key, shape, n_items)
     epoch_fn = make_sparse_epoch_fn(
-        model, arrays, cfg["batch_size"], sampler, lr=0.01, donate=False
+        model, arrays, cfg["batch_size"], sampler, lr=0.01, donate=False,
+        row_update=row_update,
     )
     table_names = list(model.row_tables())
     state = (init_sparse_state(params, table_names),
@@ -481,6 +485,30 @@ def main(full=False):
             "bf16_roofline": _roofline_flops(prod_flops, prod["bf16"][1]),
         }
 
+        # SASRec production shape at d=128: Pallas flash-attention vs einsum
+        # A/B, fp32 vs bf16 (VERDICT r3 #6) — the shape where the fused
+        # kernel must either win or be demoted honestly.
+        ab, ab_flops = bench_sasrec_production(
+            emb_dim=128,
+            variants=(
+                ("fp32_einsum", None, False),
+                ("fp32_flash", None, True),
+                ("bf16_einsum", "bfloat16", False),
+                ("bf16_flash", "bfloat16", True),
+            ),
+        )
+        details["sasrec_production_d128_flash_ab"] = {
+            **{f"{k}_sequences_per_sec": v[0] for k, v in ab.items()},
+            **{f"{k}_epoch_sec": v[1] for k, v in ab.items()},
+            "flash_speedup_fp32": ab["fp32_flash"][0] / ab["fp32_einsum"][0],
+            "flash_speedup_bf16": ab["bf16_flash"][0] / ab["bf16_einsum"][0],
+            "bf16_speedup_best": max(ab["bf16_flash"][0], ab["bf16_einsum"][0])
+            / max(ab["fp32_flash"][0], ab["fp32_einsum"][0]),
+            "best_roofline": _roofline_flops(
+                ab_flops, min(v[1] for v in ab.values())
+            ),
+        }
+
         # Production-scale sparse training: 1M x 100k MF, lazy-Adam row
         # updates (table-height-independent step cost). Dense Adam at this
         # scale spends ~6 full-table HBM passes per step and cannot finish an
@@ -494,6 +522,35 @@ def main(full=False):
             "epoch_sec": sp_dt,
             "n_users": 1_000_000, "n_items": 100_000, "emb_dim": 64,
             **_roofline_bw(2_000_000 * 3 * 6 * 256 * 4, sp_dt),
+        }
+
+        # Batch-size x storage-dtype sweep (VERDICT r3 #3/#4): per-step fixed
+        # cost dominated at B=8192 (tools/prof_step_decomp.py), so larger
+        # batches amortize it; unified_bf16 halves the row bytes (u16
+        # [p_hi|p_lo|m|v] rows: 512 B vs 1024 B tile-padded fp32) once the
+        # path is bandwidth-bound. Row-traffic model: gather + permute +
+        # scatter read/write ~6 row passes of the tile-padded row bytes
+        # (+ tiny separate bias-table ops for unified_bf16).
+        sweep = {}
+        best = (sp_eps, "unified@8192")
+        for ru, row_bytes in (("unified", 256 * 4), ("unified_bf16", 256 * 2)):
+            for bsz in (8192, 32768, 131072):
+                if ru == "unified" and bsz == 8192:
+                    eps, dts = sp_eps, sp_dt  # already measured above
+                else:
+                    eps, dts = bench_sparse_large(batch_size=bsz, row_update=ru)
+                sweep[f"{ru}_B{bsz}"] = {
+                    "examples_per_sec": eps,
+                    "epoch_sec": dts,
+                    **_roofline_bw(2_000_000 * 3 * 6 * row_bytes, dts),
+                }
+                if eps > best[0]:
+                    best = (eps, f"{ru}@{bsz}")
+        details["mf_1m_users_sparse_sweep"] = {
+            **sweep,
+            "best_examples_per_sec": best[0],
+            "best_config": best[1],
+            "speedup_vs_B8192_fp32": best[0] / sp_eps,
         }
 
         cand_sec, full_sec = bench_eval(data)

@@ -134,6 +134,20 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
         kept for future kernel work, do not default to it. Table minor dims
         are padded to 128 INSIDE the epoch (Mosaic row-DMA alignment) and
         trimmed back before returning; 1-D tables use the XLA path.
+      "unified_bf16" — the unified layout with HALF the row bytes on the
+        bandwidth-bound sparse path (VERDICT r3 #4): each 2-D table row is
+        ONE uint16 row [p_hi|p_lo|m_bf16|v_bf16] — the fp32 param split into
+        its two 16-bit halves (bit-exact master weights) and the Adam
+        moments rounded to bf16 (same exponent range as fp32, 8-bit
+        mantissa). At emb_dim 64 a row is 4*64=256 u16 = 512 B, tile-exact,
+        vs the fp32 layout's 195 f32 -> 256 lanes = 1024 B. All compute is
+        fp32 (unpack -> adam -> repack); untouched column slices round-trip
+        bit-exactly. The writeback is a scatter-SET whose duplicate-id
+        occurrences route out of bounds (mode="drop"), preserving the
+        first-occurrence dedup semantics without a second row pass. 1-D
+        bias tables ride the per-table xla path (width-1 rows cannot pay
+        for packing). Moment bf16 rounding is the only approximation;
+        trajectory parity is pinned in tests/test_sparse_optim.py.
       "xla" — per-table gather + 3 scatter-adds (sparse_adam_row_update).
       "auto" — "unified" on TPU backends, "xla" elsewhere (CPU scatters are
         bandwidth-bound, where the per-table path's narrower rows win).
@@ -213,6 +227,86 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
         if t.ndim != 2 or t.shape[1] % 128 == 0:
             return t
         return jnp.pad(t, ((0, 0), (0, (-t.shape[1]) % 128)))
+
+    # ---- unified_bf16 layout: only 2-D tables pack (u16 rows); 1-D biases
+    # ride the per-table xla path (width-1 rows cannot pay for packing) ----
+    roles2 = {
+        r: [(n2, w) for n2, w, nd in specs if nd == 2]
+        for r, specs in roles.items()
+    }
+    roles2 = {r: v for r, v in roles2.items() if v}
+    role2_order = list(roles2)
+    bias_tables = [
+        (n2, r) for r, specs in roles.items() for n2, w, nd in specs if nd == 1
+    ]
+    role2_width = {r: sum(w for _, w in roles2[r]) for r in roles2}
+    w_max2 = max(role2_width.values()) if roles2 else 0
+    role2_base, _acc2 = {}, 0
+    for r in role2_order:
+        role2_base[r] = _acc2
+        _acc2 += role_rows[r]
+    total_rows2 = _acc2
+
+    def _pack16(params, moments):
+        """(total_rows2, 4*w_max2) uint16 rows [p_hi|p_lo|m_bf16|v_bf16]."""
+        u = jnp.zeros((total_rows2, 4 * w_max2), jnp.uint16)
+        for role in role2_order:
+            b0, off = role2_base[role], 0
+            for n2, w in roles2[role]:
+                pu = jax.lax.bitcast_convert_type(params[n2], jnp.uint32)
+                m0, v0 = moments[n2]
+                comps = (
+                    (pu >> 16).astype(jnp.uint16),
+                    (pu & jnp.uint32(0xFFFF)).astype(jnp.uint16),
+                    jax.lax.bitcast_convert_type(m0.astype(jnp.bfloat16), jnp.uint16),
+                    jax.lax.bitcast_convert_type(v0.astype(jnp.bfloat16), jnp.uint16),
+                )
+                for c, s in enumerate(comps):
+                    u = u.at[
+                        b0 : b0 + role_rows[role],
+                        c * w_max2 + off : c * w_max2 + off + w,
+                    ].set(s)
+                off += w
+        return u
+
+    def _unpack16_components(rows16):
+        """u16 rows -> fp32 (p, m, v); exact for p, bf16-rounded for m/v."""
+        hi = rows16[:, :w_max2].astype(jnp.uint32)
+        lo = rows16[:, w_max2 : 2 * w_max2].astype(jnp.uint32)
+        p = jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
+        m = jax.lax.bitcast_convert_type(
+            rows16[:, 2 * w_max2 : 3 * w_max2], jnp.bfloat16
+        ).astype(jnp.float32)
+        v = jax.lax.bitcast_convert_type(
+            rows16[:, 3 * w_max2 :], jnp.bfloat16
+        ).astype(jnp.float32)
+        return p, m, v
+
+    def _repack16(p, m, v):
+        pu = jax.lax.bitcast_convert_type(p, jnp.uint32)
+        return jnp.concatenate(
+            [
+                (pu >> 16).astype(jnp.uint16),
+                (pu & jnp.uint32(0xFFFF)).astype(jnp.uint16),
+                jax.lax.bitcast_convert_type(m.astype(jnp.bfloat16), jnp.uint16),
+                jax.lax.bitcast_convert_type(v.astype(jnp.bfloat16), jnp.uint16),
+            ],
+            axis=1,
+        )
+
+    def _unpack16(u, params_in, moments_in):
+        """Full-table unpack at epoch end; bias tables pass through."""
+        params_out = dict(params_in)
+        moments_out = dict(moments_in)
+        for role in role2_order:
+            b0, off = role2_base[role], 0
+            rows16 = u[b0 : b0 + role_rows[role]]
+            p, m, v = _unpack16_components(rows16)
+            for n2, w in roles2[role]:
+                params_out[n2] = p[:, off : off + w]
+                moments_out[n2] = (m[:, off : off + w], v[:, off : off + w])
+                off += w
+        return params_out, moments_out
 
     def epoch_fn(params, opt_state, rng):
         from .train_engine import _padded_order
@@ -372,6 +466,164 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
                 ustep, (u0, dense_params0, sparse_state["step"], dense_state), xs
             )
             params_out, moments_out = _unpack_unified(uarr)
+            params_out.update(dense_params)
+            return (
+                params_out,
+                ({"moments": moments_out, "step": step_i,
+                  "dropped": sparse_state.get("dropped", jnp.zeros((), jnp.int32))},
+                 dense_state),
+                rng,
+                jnp.mean(losses),
+            )
+
+        if row_update == "unified_bf16" and roles2:
+            b1, b2, eps = 0.9, 0.999, 1e-8
+            dense_params0 = {k: v for k, v in params.items() if k not in table_names}
+            bias_params0 = {n2: params[n2] for n2, _ in bias_tables}
+            bias_moments0 = {n2: sparse_state["moments"][n2] for n2, _ in bias_tables}
+            emb_moments0 = {
+                n2: sparse_state["moments"][n2]
+                for r in role2_order for n2, _ in roles2[r]
+            }
+            u0 = _pack16(params, emb_moments0)
+
+            def bstep(carry, x):
+                uarr, bias_params, bias_moments, dense_params, step_i, dense_state = carry
+                u, pos, neg, k_loss = x
+                batch = {"users": u, "pos_items": pos, "neg_items": neg}
+                role_ids = {"users": u, "items_cat": jnp.concatenate([pos, neg])}
+
+                seg, parts, s0 = [], [], 0
+                for role in role2_order:
+                    ids_r = role_ids[role]
+                    parts.append(ids_r + role2_base[role])
+                    seg.append((role, s0, s0 + ids_r.shape[0]))
+                    s0 += ids_r.shape[0]
+                ids_u = jnp.concatenate(parts)
+                L = ids_u.shape[0]
+                rows16 = uarr[ids_u]  # (L, 4*w_max2): ONE u16 full-row gather
+                prow, _, _ = _unpack16_components(rows16)
+                bias_rows = {
+                    n2: bias_params[n2][role_ids[r]] for n2, r in bias_tables
+                }
+
+                def _rows_of(prow, bias_rows):
+                    rows = dict(bias_rows)
+                    for role, a, b in seg:
+                        off = 0
+                        for n2, w in roles2[role]:
+                            rows[n2] = prow[a:b, off : off + w]
+                            off += w
+                    return rows
+
+                def loss_fn(prow, bias_rows, dense_params):
+                    rows = _rows_of(prow, bias_rows)
+                    if compute_dtype is not None:
+                        dt = jnp.dtype(compute_dtype)
+                        cast = lambda t: jax.tree_util.tree_map(
+                            lambda x: x.astype(dt)
+                            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                            else x,
+                            t,
+                        )
+                        return model.row_loss(
+                            cast(rows), cast(dense_params), batch, k_loss
+                        ).astype(jnp.float32)
+                    return model.row_loss(rows, dense_params, batch, k_loss)
+
+                loss, (g_cat, g_bias, g_dense) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1, 2)
+                )(prow, bias_rows, dense_params)
+
+                # shared sort + segment dedup over the packed ids
+                order2 = jnp.argsort(ids_u)
+                ids_s = ids_u[order2]
+                g_sorted = g_cat[order2]
+                first = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
+                segid = jnp.cumsum(first) - 1
+                summed = jax.ops.segment_sum(g_sorted, segid, num_segments=L)
+                g_d = jnp.where(first[:, None], summed[segid], 0.0)
+                rows16_s = rows16[order2]  # permute the u16 buffer (half bytes)
+                p_s, m_s, v_s = _unpack16_components(rows16_s)
+
+                new_step = step_i + 1
+                step_f = new_step.astype(jnp.float32)
+                m_new = b1 * m_s + (1 - b1) * g_d
+                v_new = b2 * v_s + (1 - b2) * g_d**2
+                m_hat = m_new / (1 - b1**step_f)
+                v_hat = v_new / (1 - b2**step_f)
+                delta = -lr * m_hat / (jnp.sqrt(v_hat) + eps)
+
+                # per-table touched masks (unified-path semantics)
+                same_boundaries = len(
+                    {tuple(w for _, w in roles2[r]) for r in role2_order}
+                ) == 1
+                if same_boundaries:
+                    off, blocks = 0, []
+                    for n2, w in roles2[role2_order[0]]:
+                        t = jnp.any(g_d[:, off : off + w] != 0, axis=1, keepdims=True)
+                        blocks.append(jnp.broadcast_to(t.astype(jnp.float32), (L, w)))
+                        off += w
+                    pad = w_max2 - role2_width[role2_order[0]]
+                    if pad:
+                        blocks.append(jnp.zeros((L, pad), jnp.float32))
+                    mask = jnp.concatenate(blocks, axis=1)
+                else:
+                    mask = jnp.zeros((L, w_max2), jnp.float32)
+                    for role in role2_order:
+                        b0 = role2_base[role]
+                        ind = (
+                            (ids_s >= b0) & (ids_s < b0 + role_rows[role])
+                        ).astype(jnp.float32)[:, None]
+                        off, blocks = 0, []
+                        for n2, w in roles2[role]:
+                            t = jnp.any(g_d[:, off : off + w] != 0, axis=1, keepdims=True)
+                            blocks.append(jnp.broadcast_to(t.astype(jnp.float32), (L, w)))
+                            off += w
+                        pad = w_max2 - role2_width[role]
+                        if pad:
+                            blocks.append(jnp.zeros((L, pad), jnp.float32))
+                        mask = mask + ind * jnp.concatenate(blocks, axis=1)
+
+                # untouched slices keep their exact bytes (p round-trips
+                # bit-exactly; m/v are already bf16-rounded)
+                p_new = p_s + mask * delta
+                m_wr = jnp.where(mask > 0, m_new, m_s)
+                v_wr = jnp.where(mask > 0, v_new, v_s)
+                new_rows16 = _repack16(p_new, m_wr, v_wr)
+                # scatter-SET: only first occurrences write (duplicates route
+                # out of bounds -> dropped), preserving dedup semantics with
+                # no extra row pass
+                ids_write = jnp.where(first, ids_s, total_rows2)
+                uarr = uarr.at[ids_write].set(new_rows16, mode="drop")
+
+                # bias tables: per-table lazy-Adam (xla path)
+                new_bias_params = dict(bias_params)
+                new_bias_moments = dict(bias_moments)
+                for n2, r in bias_tables:
+                    mb, vb = bias_moments[n2]
+                    tb, mb2, vb2 = sparse_adam_row_update(
+                        bias_params[n2], mb, vb, role_ids[r], g_bias[n2], lr, step_f
+                    )
+                    new_bias_params[n2] = tb
+                    new_bias_moments[n2] = (mb2, vb2)
+
+                updates, dense_state = dense_optimizer.update(
+                    g_dense, dense_state, dense_params
+                )
+                dense_params = optax.apply_updates(dense_params, updates)
+                return (
+                    uarr, new_bias_params, new_bias_moments, dense_params,
+                    new_step, dense_state,
+                ), loss
+
+            (uarr, bias_params, bias_moments, dense_params, step_i, dense_state), losses = jax.lax.scan(
+                bstep,
+                (u0, bias_params0, bias_moments0, dense_params0,
+                 sparse_state["step"], dense_state),
+                xs,
+            )
+            params_out, moments_out = _unpack16(uarr, bias_params, bias_moments)
             params_out.update(dense_params)
             return (
                 params_out,

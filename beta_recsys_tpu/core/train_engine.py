@@ -626,6 +626,7 @@ class TrainEngine:
                     lr=lr,
                     dense_optimizer=self.optimizer,
                     compute_dtype=compute_dtype,
+                    row_update=model_cfg.get("row_update", "auto"),
                 )
             sparse_state = init_sparse_state(self.params, table_names)
             dense_params = {
