@@ -374,6 +374,21 @@ def bench_sparse_large(n_users=1_000_000, n_items=100_000, n_inter=2_000_000, n_
     return n_inter / dt, dt
 
 
+
+def _flush(details):
+    """Merge-write BENCH_DETAILS.json after EVERY entry: a transient tunnel
+    error mid-sweep must not lose the measurements already taken."""
+    merged = {}
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            merged = json.load(f)
+    except Exception:
+        pass
+    merged.update(details)
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(merged, f, indent=2)
+
+
 def main(full=False):
     import jax
 
@@ -398,6 +413,7 @@ def main(full=False):
     details["mf_ml100k"] = {"examples_per_sec": mf_eps, "epoch_sec": mf_dt,
                            "vs_reference": mf_eps / REFERENCE_MF_EXAMPLES_PER_SEC,
                            **_roofline_bw(_dense_adam_bytes(mf_params, n_steps), mf_dt)}
+    _flush(details)
 
     if full:
         # Each extra model costs a fresh whole-epoch compile (~1-3 min on the
@@ -414,6 +430,7 @@ def main(full=False):
         ncf_steps = -(-len(data.train) // ncf_cfg["batch_size"])
         details["ncf_ml100k"] = {"examples_per_sec": ncf_eps, "epoch_sec": ncf_dt,
                                 **_roofline_bw(_dense_adam_bytes(ncf_params, ncf_steps), ncf_dt)}
+        _flush(details)
 
         gcn_cfg = {"model": "LightGCN", "emb_dim": 64, "layer_size": [64, 64, 64],
                    "regs": [1e-5], "keep_pro": 1.0, "batch_size": 4096,
@@ -430,6 +447,7 @@ def main(full=False):
             "examples_per_sec": gcn_eps, "epoch_sec": gcn_dt,
             **_roofline_bw(prop_bytes + _dense_adam_bytes(gcn_params, gcn_steps), gcn_dt),
         }
+        _flush(details)
 
         from beta_recsys_tpu.data.sequential_data import SequentialData
 
@@ -442,6 +460,7 @@ def main(full=False):
             "reference_epoch_sec_dunnhumby": 21.0,
             **_roofline_flops(_sasrec_flops(sas_nseq, 200, 64, 2), sas_dt),
         }
+        _flush(details)
 
         # bf16 mixed-precision variants (fp32 master params, bf16 compute)
         sas16_sps, sas16_dt = bench_sasrec(seq_data, compute_dtype="bfloat16")
@@ -450,6 +469,7 @@ def main(full=False):
             "epoch_sec": sas16_dt,
             "speedup_vs_fp32": sas16_sps / sas_sps,
         }
+        _flush(details)
         ncf16_eps, ncf16_dt = bench_pairwise(
             data, ncf_cfg, NeuMF, n_epochs=3, compute_dtype="bfloat16"
         )
@@ -458,6 +478,7 @@ def main(full=False):
             "epoch_sec": ncf16_dt,
             "speedup_vs_fp32": ncf16_eps / ncf_eps,
         }
+        _flush(details)
 
         # Production population for SASRec: sustained step rate, fp32 vs bf16.
         sas_prod, sas_prod_flops = bench_sasrec_production()
@@ -470,6 +491,7 @@ def main(full=False):
             "fp32_roofline": _roofline_flops(sas_prod_flops, sas_prod["fp32"][1]),
             "bf16_roofline": _roofline_flops(sas_prod_flops, sas_prod["bf16"][1]),
         }
+        _flush(details)
 
         # Production tower shape: d=256 / 4-layer MLP / B=8192 — MXU-bound,
         # where bf16 must show a real win.
@@ -484,30 +506,35 @@ def main(full=False):
             "fp32_roofline": _roofline_flops(prod_flops, prod["fp32"][1]),
             "bf16_roofline": _roofline_flops(prod_flops, prod["bf16"][1]),
         }
+        _flush(details)
 
         # SASRec production shape at d=128: Pallas flash-attention vs einsum
         # A/B, fp32 vs bf16 (VERDICT r3 #6) — the shape where the fused
         # kernel must either win or be demoted honestly.
-        ab, ab_flops = bench_sasrec_production(
-            emb_dim=128,
-            variants=(
-                ("fp32_einsum", None, False),
-                ("fp32_flash", None, True),
-                ("bf16_einsum", "bfloat16", False),
-                ("bf16_flash", "bfloat16", True),
-            ),
-        )
-        details["sasrec_production_d128_flash_ab"] = {
-            **{f"{k}_sequences_per_sec": v[0] for k, v in ab.items()},
-            **{f"{k}_epoch_sec": v[1] for k, v in ab.items()},
-            "flash_speedup_fp32": ab["fp32_flash"][0] / ab["fp32_einsum"][0],
-            "flash_speedup_bf16": ab["bf16_flash"][0] / ab["bf16_einsum"][0],
-            "bf16_speedup_best": max(ab["bf16_flash"][0], ab["bf16_einsum"][0])
-            / max(ab["fp32_flash"][0], ab["fp32_einsum"][0]),
-            "best_roofline": _roofline_flops(
-                ab_flops, min(v[1] for v in ab.values())
-            ),
-        }
+        try:
+            ab, ab_flops = bench_sasrec_production(
+                emb_dim=128,
+                variants=(
+                    ("fp32_einsum", None, False),
+                    ("fp32_flash", None, True),
+                    ("bf16_einsum", "bfloat16", False),
+                    ("bf16_flash", "bfloat16", True),
+                ),
+            )
+            details["sasrec_production_d128_flash_ab"] = {
+                **{f"{k}_sequences_per_sec": v[0] for k, v in ab.items()},
+                **{f"{k}_epoch_sec": v[1] for k, v in ab.items()},
+                "flash_speedup_fp32": ab["fp32_flash"][0] / ab["fp32_einsum"][0],
+                "flash_speedup_bf16": ab["bf16_flash"][0] / ab["bf16_einsum"][0],
+                "bf16_speedup_best": max(ab["bf16_flash"][0], ab["bf16_einsum"][0])
+                / max(ab["fp32_flash"][0], ab["fp32_einsum"][0]),
+                "best_roofline": _roofline_flops(
+                    ab_flops, min(v[1] for v in ab.values())
+                ),
+            }
+        except Exception as e:  # transient tunnel failures must not kill the run
+            details["sasrec_production_d128_flash_ab"] = {"error": repr(e)}
+        _flush(details)
 
         # Production-scale sparse training: 1M x 100k MF, lazy-Adam row
         # updates (table-height-independent step cost). Dense Adam at this
@@ -523,22 +550,28 @@ def main(full=False):
             "n_users": 1_000_000, "n_items": 100_000, "emb_dim": 64,
             **_roofline_bw(2_000_000 * 3 * 6 * 256 * 4, sp_dt),
         }
+        _flush(details)
 
-        # Batch-size x storage-dtype sweep (VERDICT r3 #3/#4): per-step fixed
-        # cost dominated at B=8192 (tools/prof_step_decomp.py), so larger
-        # batches amortize it; unified_bf16 halves the row bytes (u16
-        # [p_hi|p_lo|m|v] rows: 512 B vs 1024 B tile-padded fp32) once the
-        # path is bandwidth-bound. Row-traffic model: gather + permute +
-        # scatter read/write ~6 row passes of the tile-padded row bytes
-        # (+ tiny separate bias-table ops for unified_bf16).
+        # Batch-size x storage-dtype sweep (VERDICT r3 #3/#4). Measured
+        # verdict (r4): epoch time is invariant to a 16x batch change and
+        # unified_bf16's half-byte rows are SLOWER — the path is bound by
+        # XLA's per-row gather/scatter op rate (~66 ns/row-op), not bytes or
+        # per-step fixed cost; see docs/benchmarks.md. The sweep stays in the
+        # bench so a future XLA/hardware change that moves the floor shows up.
         sweep = {}
         best = (sp_eps, "unified@8192")
         for ru, row_bytes in (("unified", 256 * 4), ("unified_bf16", 256 * 2)):
             for bsz in (8192, 32768, 131072):
-                if ru == "unified" and bsz == 8192:
-                    eps, dts = sp_eps, sp_dt  # already measured above
-                else:
-                    eps, dts = bench_sparse_large(batch_size=bsz, row_update=ru)
+                try:
+                    if ru == "unified" and bsz == 8192:
+                        eps, dts = sp_eps, sp_dt  # already measured above
+                    else:
+                        eps, dts = bench_sparse_large(batch_size=bsz, row_update=ru)
+                except Exception as e:
+                    sweep[f"{ru}_B{bsz}"] = {"error": repr(e)}
+                    details["mf_1m_users_sparse_sweep"] = dict(sweep)
+                    _flush(details)
+                    continue
                 sweep[f"{ru}_B{bsz}"] = {
                     "examples_per_sec": eps,
                     "epoch_sec": dts,
@@ -546,12 +579,15 @@ def main(full=False):
                 }
                 if eps > best[0]:
                     best = (eps, f"{ru}@{bsz}")
+                details["mf_1m_users_sparse_sweep"] = dict(sweep)
+                _flush(details)
         details["mf_1m_users_sparse_sweep"] = {
             **sweep,
             "best_examples_per_sec": best[0],
             "best_config": best[1],
             "speedup_vs_B8192_fp32": best[0] / sp_eps,
         }
+        _flush(details)
 
         cand_sec, full_sec = bench_eval(data)
         details["mf_ml100k_eval"] = {
@@ -560,6 +596,7 @@ def main(full=False):
             "reference_eval_sec": 9.3,
             "vs_reference_candidate": 9.3 / cand_sec,
         }
+        _flush(details)
 
     # merge into the existing details file so a plain (MF-only) run does not
     # drop the --full sweep's entries

@@ -134,8 +134,8 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
         kept for future kernel work, do not default to it. Table minor dims
         are padded to 128 INSIDE the epoch (Mosaic row-DMA alignment) and
         trimmed back before returning; 1-D tables use the XLA path.
-      "unified_bf16" — the unified layout with HALF the row bytes on the
-        bandwidth-bound sparse path (VERDICT r3 #4): each 2-D table row is
+      "unified_bf16" — the unified layout at HALF the row bytes AND half
+        the optimizer-state HBM (VERDICT r3 #4): each 2-D table row is
         ONE uint16 row [p_hi|p_lo|m_bf16|v_bf16] — the fp32 param split into
         its two 16-bit halves (bit-exact master weights) and the Adam
         moments rounded to bf16 (same exponent range as fp32, 8-bit
@@ -148,6 +148,11 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
         bias tables ride the per-table xla path (width-1 rows cannot pay
         for packing). Moment bf16 rounding is the only approximation;
         trajectory parity is pinned in tests/test_sparse_optim.py.
+        MEASURED (r4, BENCH_DETAILS mf_1m_users_sparse_sweep): ~0.6x the
+        fp32 unified throughput on v5e — the path is bound by per-row
+        scatter/gather op rate, not bytes, so the packing ALU + separate
+        bias ops cost more than the bytes save. Use it when optimizer-state
+        MEMORY is the constraint (tables 2x larger per chip), not for speed.
       "xla" — per-table gather + 3 scatter-adds (sparse_adam_row_update).
       "auto" — "unified" on TPU backends, "xla" elsewhere (CPU scatters are
         bandwidth-bound, where the per-table path's narrower rows win).
