@@ -7,6 +7,7 @@ sigmoid(w^T (u ⊙ i) + b), BCE loss, N(0, 0.01) embedding init.
 import jax
 import jax.numpy as jnp
 
+from ..ops.gather import table_lookup
 from .base import RecModel
 from .losses import bce_loss
 
@@ -28,7 +29,7 @@ class GMF(RecModel):
         }
 
     def score_pairs(self, params, users, items):
-        prod = params["user_emb"][users] * params["item_emb"][items]
+        prod = table_lookup(params["user_emb"], users) * table_lookup(params["item_emb"], items)
         logits = prod @ params["affine_w"] + params["affine_b"]
         return jax.nn.sigmoid(logits[..., 0])
 

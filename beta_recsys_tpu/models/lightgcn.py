@@ -11,6 +11,7 @@ Artifacts: {"adj": (rows, cols, vals)} from BaseData.get_norm_adj("sym").
 import jax
 import jax.numpy as jnp
 
+from ..ops.gather import table_lookup
 from ..ops.graph import edge_dropout, pack_propagator, propagate_mean
 from .base import RecModel
 from .losses import softplus_bpr_loss
@@ -66,12 +67,15 @@ class LightGCN(RecModel):
     def loss(self, params, batch, rng):
         users, pos, neg = batch["users"], batch["pos_items"], batch["neg_items"]
         u_final, i_final = self.propagate(params, rng=rng)
-        pos_scores = jnp.sum(u_final[users] * i_final[pos], axis=-1)
-        neg_scores = jnp.sum(u_final[users] * i_final[neg], axis=-1)
+        # table_lookup: scatter-free VJP into the (small) propagated tensors
+        # and ego tables (ops/gather.py)
+        u_rows = table_lookup(u_final, users)
+        pos_scores = jnp.sum(u_rows * table_lookup(i_final, pos), axis=-1)
+        neg_scores = jnp.sum(u_rows * table_lookup(i_final, neg), axis=-1)
         mf_loss = softplus_bpr_loss(pos_scores, neg_scores)
         reg = 0.5 * (
-            jnp.sum(params["user_emb"][users] ** 2)
-            + jnp.sum(params["item_emb"][pos] ** 2)
-            + jnp.sum(params["item_emb"][neg] ** 2)
+            jnp.sum(table_lookup(params["user_emb"], users) ** 2)
+            + jnp.sum(table_lookup(params["item_emb"], pos) ** 2)
+            + jnp.sum(table_lookup(params["item_emb"], neg) ** 2)
         ) / users.shape[0]
         return mf_loss + self.decay * reg

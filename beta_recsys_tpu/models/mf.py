@@ -10,6 +10,7 @@ effectively trains with reg=0; here ``reg`` from the model config is honored.)
 import jax
 import jax.numpy as jnp
 
+from ..ops.gather import table_lookup
 from .base import RecModel
 from .losses import bce_loss, bpr_loss, l2_reg
 
@@ -50,12 +51,14 @@ class MF(RecModel):
         return jax.nn.sigmoid(scores + params["global_bias"])
 
     def score_pairs(self, params, users, items):
-        u_emb = params["user_emb"][users]
-        i_emb = params["item_emb"][items]
+        # table_lookup: scatter-free one-hot-matmul VJP for small tables
+        # (ops/gather.py — the dense backward was scatter-bound at ~83ns/row)
+        u_emb = table_lookup(params["user_emb"], users)
+        i_emb = table_lookup(params["item_emb"], items)
         logits = (
             jnp.sum(u_emb * i_emb, axis=-1)
-            + params["user_bias"][users]
-            + params["item_bias"][items]
+            + table_lookup(params["user_bias"], users)
+            + table_lookup(params["item_bias"], items)
             + params["global_bias"]
         )
         return jax.nn.sigmoid(logits)
@@ -75,10 +78,10 @@ class MF(RecModel):
 
     def _reg_term(self, params, users, items):
         return l2_reg(
-            params["user_emb"][users],
-            params["item_emb"][items],
-            params["user_bias"][users],
-            params["item_bias"][items],
+            table_lookup(params["user_emb"], users),
+            table_lookup(params["item_emb"], items),
+            table_lookup(params["user_bias"], users),
+            table_lookup(params["item_bias"], items),
             batch_size=users.shape[0],
         )
 

@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import inverted_dropout
+from ..ops.gather import table_lookup
 from .base import RecModel
 from .losses import bce_loss
 
@@ -57,7 +58,7 @@ class MLP(RecModel):
 
     def score_pairs(self, params, users, items, rng=None):
         vector = jnp.concatenate(
-            [params["user_emb"][users], params["item_emb"][items]], axis=-1
+            [table_lookup(params["user_emb"], users), table_lookup(params["item_emb"], items)], axis=-1
         )
         return jax.nn.sigmoid(self._tower(params, vector, rng))
 

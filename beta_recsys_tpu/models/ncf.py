@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import inverted_dropout
+from ..ops.gather import table_lookup
 from .base import RecModel
 from .losses import bce_loss
 from .mlp import _dense_init
@@ -57,9 +58,9 @@ class NeuMF(RecModel):
 
     def _forward(self, params, users, items, rng=None):
         mlp_vec = jnp.concatenate(
-            [params["user_emb_mlp"][users], params["item_emb_mlp"][items]], axis=-1
+            [table_lookup(params["user_emb_mlp"], users), table_lookup(params["item_emb_mlp"], items)], axis=-1
         )
-        gmf_vec = params["user_emb_gmf"][users] * params["item_emb_gmf"][items]
+        gmf_vec = table_lookup(params["user_emb_gmf"], users) * table_lookup(params["item_emb_gmf"], items)
         for layer in params["layers"]:
             if rng is not None and self.dropout > 0:
                 rng, sub = jax.random.split(rng)

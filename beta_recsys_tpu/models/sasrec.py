@@ -22,6 +22,7 @@ import copy
 import jax
 import jax.numpy as jnp
 
+from ..ops.gather import table_lookup
 from ..ops.attention import (
     causal_mha,
     init_ffn_params,
@@ -93,7 +94,7 @@ class SASRec(RecModel):
                 params,
             )
         d = self.emb_dim
-        seqs = params["item_emb"][log_seqs] * jnp.sqrt(d).astype(self.compute_dtype)
+        seqs = table_lookup(params["item_emb"], log_seqs) * jnp.sqrt(d).astype(self.compute_dtype)
         T = log_seqs.shape[1]
         seqs = seqs + params["pos_emb"][None, self.maxlen - T :, :]
         if rng is not None and self.dropout_rate > 0:
@@ -125,8 +126,8 @@ class SASRec(RecModel):
         """Masked BCE-with-logits over (pos, neg) at every sequence position."""
         seq, pos, neg = batch["seq"], batch["pos"], batch["neg"]
         feats = self.log2feats(params, seq, rng=rng)
-        pos_emb = params["item_emb"][pos]
-        neg_emb = params["item_emb"][neg]
+        pos_emb = table_lookup(params["item_emb"], pos)
+        neg_emb = table_lookup(params["item_emb"], neg)
         pos_logits = jnp.sum(feats * pos_emb, axis=-1)
         neg_logits = jnp.sum(feats * neg_emb, axis=-1)
         mask = (pos != 0).astype(jnp.float32)

@@ -1,0 +1,70 @@
+"""Embedding lookup whose BACKWARD dodges the v5e scatter floor.
+
+Round-4 profiling (tools/prof_epoch_ablation.py, prof_scatter_flags.py)
+measured XLA's scatter-add at a hard ~83 ns/row on v5e regardless of width
+or lowering hints — it dominates dense training epochs (71% of the MF
+unified-sparse epoch; the dense MF backward is the same scatter). For SMALL
+tables there is a scatter-free alternative: the gather's VJP is
+one_hot(ids)^T @ g — an MXU matmul plus a streamed (B, N) one-hot, costing
+~8N bytes of HBM traffic per batch row instead of 83 ns of scatter time.
+Break-even: 8N / 819 GB/s = 83 ns  =>  N ~ 8.5k rows. ml-100k-class tables
+(hundreds to thousands of rows) win 5-15x; production 1M-row tables keep
+the scatter (the sparse lazy-Adam trainer owns that regime).
+
+``table_lookup`` keeps the forward as a plain take (gathers are cheap — the
+floor is the scatter in the backward) and swaps only the VJP.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# above this many rows the (B, N) one-hot's HBM traffic exceeds the
+# scatter's ~83 ns/row cost (see module docstring)
+MXU_LOOKUP_MAX_ROWS = 8192
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _mxu_lookup_for(shape, dtype_name):
+    """custom_vjp lookup specialized to a (static) table shape/dtype —
+    residuals may only carry JAX values, so the statics close over."""
+    n_rows = shape[0]
+
+    @jax.custom_vjp
+    def lookup(table, ids):
+        return table[ids]
+
+    def fwd(table, ids):
+        return table[ids], ids
+
+    def bwd(ids, g):
+        flat_ids = ids.reshape(-1)
+        onehot = jax.nn.one_hot(flat_ids, n_rows, dtype=g.dtype)  # (B, N)
+        if len(shape) == 1:
+            g_table = jnp.einsum("bn,b->n", onehot, g.reshape(-1))
+        else:
+            g_table = jnp.einsum("bn,bd->nd", onehot, g.reshape(-1, shape[-1]))
+        return (g_table.astype(dtype_name),
+                np.zeros(ids.shape, dtype=jax.dtypes.float0))
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
+def _mxu_lookup(table, ids):
+    return _mxu_lookup_for(tuple(table.shape), str(table.dtype))(table, ids)
+
+
+def table_lookup(table, ids, max_mxu_rows=MXU_LOOKUP_MAX_ROWS):
+    """``table[ids]`` with a scatter-free (one-hot matmul) VJP for small tables.
+
+    Identical values either way; gradients agree up to float reassociation
+    (matmul accumulation order vs scatter order). Large tables fall through
+    to the native gather/scatter pair.
+    """
+    if table.shape[0] <= max_mxu_rows:
+        return _mxu_lookup(table, ids)
+    return table[ids]

@@ -170,3 +170,42 @@ def test_load_split_full_negative_normalization(tmp_path):
     ds.load_split({"dataset": {"data_split": "leave_one_out",
                                "n_negative": -1, "n_test": 10}})
     assert seen["n_test"] == 1 and seen["n_negative"] == -1
+
+
+def test_table_lookup_scatter_free_vjp_matches_gather():
+    """ops/gather.table_lookup: identical forward, gradient equal to the
+    native gather/scatter VJP up to float reassociation — incl. duplicate
+    ids (their one-hot rows sum in the matmul) and 1-D bias tables."""
+    import jax.numpy as jnp
+
+    from beta_recsys_tpu.ops.gather import _mxu_lookup, table_lookup
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(50, 8)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(50,)).astype(np.float32))
+    ids = jnp.asarray([3, 7, 7, 0, 49, 7], dtype=jnp.int32)
+    w = jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32))
+
+    np.testing.assert_array_equal(
+        np.asarray(table_lookup(table, ids)), np.asarray(table[ids]))
+
+    g_mxu = jax.grad(lambda t: jnp.sum(_mxu_lookup(t, ids) * w))(table)
+    g_ref = jax.grad(lambda t: jnp.sum(t[ids] * w))(table)
+    np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    gb_mxu = jax.grad(lambda b: jnp.sum(_mxu_lookup(b, ids) ** 2))(bias)
+    gb_ref = jax.grad(lambda b: jnp.sum(b[ids] ** 2))(bias)
+    np.testing.assert_allclose(np.asarray(gb_mxu), np.asarray(gb_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # 2-D ids (candidate scoring shape)
+    ids2 = jnp.asarray([[1, 2], [2, 2]], dtype=jnp.int32)
+    w2 = jnp.ones((2, 2, 8))
+    g2 = jax.grad(lambda t: jnp.sum(_mxu_lookup(t, ids2) * w2))(table)
+    g2r = jax.grad(lambda t: jnp.sum(t[ids2] * w2))(table)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g2r), rtol=1e-6, atol=1e-6)
+
+    # large tables fall through to the native path (no one-hot blowup)
+    big = jnp.zeros((10_000, 4))
+    assert table_lookup(big, ids).shape == (6, 4)
