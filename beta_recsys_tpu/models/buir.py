@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.graph import pack_propagator, propagate_mean
+from ..ops.gather import table_lookup
 from .base import RecModel
 
 
@@ -67,8 +68,8 @@ class BUIR(RecModel):
             jax.tree_util.tree_map(jax.lax.stop_gradient, params["target"])
         )
         pred = lambda x: x @ params["pred_w"] + params["pred_b"]
-        u_on = pred(u_on_all[users])
-        i_on = pred(i_on_all[items])
+        u_on = pred(table_lookup(u_on_all, users))
+        i_on = pred(table_lookup(i_on_all, items))
         u_tg = jax.lax.stop_gradient(u_tg_all[users])
         i_tg = jax.lax.stop_gradient(i_tg_all[items])
         norm = lambda v: v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)

@@ -18,6 +18,7 @@ Batch kind is plain pairwise; neighborhoods are gathered inside the loss.
 import jax
 import jax.numpy as jnp
 
+from ..ops.gather import table_lookup
 from .base import RecModel
 from .losses import bpr_loss
 
@@ -76,7 +77,7 @@ class CMN(RecModel):
         mem = params["user_memory"][nb]  # (B, M, d)
         out_mem = params["user_output"][nb]  # (B, M, d)
 
-        z = params["user_memory"][users] + params["item_memory"][items]
+        z = table_lookup(params["user_memory"], users) + table_lookup(params["item_memory"], items)
         o = None
         for h in range(self.hops):
             if h > 0:
@@ -89,7 +90,7 @@ class CMN(RecModel):
         return o
 
     def _score(self, params, users, items):
-        pointwise = params["user_memory"][users] * params["item_memory"][items]
+        pointwise = table_lookup(params["user_memory"], users) * table_lookup(params["item_memory"], items)
         neighbor = self._memory_attention(params, users, items)
         h = jax.nn.relu(
             jnp.concatenate([pointwise, neighbor], axis=-1) @ params["dense_w"]

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.graph import edge_dropout, pack_propagator
+from ..ops.gather import table_lookup
 from .base import RecModel
 
 
@@ -84,11 +85,11 @@ class MixGCF(RecModel):
 
         Returns (B, H+1, d) synthesized negative embeddings.
         """
-        s_e = user_hop[users]  # (B, H+1, d)
+        s_e = table_lookup(user_hop, users)  # (B, H+1, d)
         if self.pool != "concat":
             s_e = self.pooling(s_e)[:, None, :]  # (B, 1, d) query
             s_e = jnp.broadcast_to(s_e, (s_e.shape[0], user_hop.shape[1], s_e.shape[2]))
-        p_e = item_hop[pos]  # (B, H+1, d)
+        p_e = table_lookup(item_hop, pos)  # (B, H+1, d)
         n_e = item_hop[neg_group]  # (B, n_negs, H+1, d)
         seed = jax.random.uniform(rng, (n_e.shape[0], 1, n_e.shape[2], 1))
         mixed = seed * p_e[:, None, :, :] + (1 - seed) * n_e
@@ -110,8 +111,8 @@ class MixGCF(RecModel):
                 groups.append(self._mix_negatives(sub, user_hop, item_hop, users, group, pos))
             neg_embs = jnp.stack(groups, axis=1)  # (B, K, H+1, d)
 
-        u_e = self.pooling(user_hop[users])
-        pos_e = self.pooling(item_hop[pos])
+        u_e = self.pooling(table_lookup(user_hop, users))
+        pos_e = self.pooling(table_lookup(item_hop, pos))
         B, K = neg_embs.shape[0], neg_embs.shape[1]
         neg_e = self.pooling(neg_embs.reshape(B * K, *neg_embs.shape[2:])).reshape(B, K, -1)
         pos_scores = jnp.sum(u_e * pos_e, axis=1)
@@ -120,8 +121,8 @@ class MixGCF(RecModel):
             jnp.log(1 + jnp.sum(jnp.exp(neg_scores - pos_scores[:, None]), axis=1))
         )
         reg = 0.5 * (
-            jnp.sum(user_hop[users][:, 0, :] ** 2)
-            + jnp.sum(item_hop[pos][:, 0, :] ** 2)
+            jnp.sum(table_lookup(user_hop, users)[:, 0, :] ** 2)
+            + jnp.sum(table_lookup(item_hop, pos)[:, 0, :] ** 2)
             + jnp.sum(neg_embs[:, :, 0, :] ** 2)
         ) / users.shape[0]
         return mf_loss + self.decay * reg

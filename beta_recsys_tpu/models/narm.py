@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import inverted_dropout
+from ..ops.gather import table_lookup
 from .base import RecModel
 
 
@@ -95,7 +96,7 @@ class NARM(RecModel):
     def session_vector(self, params, seq, rng=None):
         """Encode (B, T) 1-indexed padded sequences into (B, 2H) session vectors."""
         mask = seq != 0
-        embs = params["item_emb"][seq]
+        embs = table_lookup(params["item_emb"], seq)
         if rng is not None and self.dropout_input > 0:
             rng, sub = jax.random.split(rng)
             embs = inverted_dropout(sub, embs, self.dropout_input)

@@ -9,6 +9,7 @@ looked-up embeddings.
 import jax
 import jax.numpy as jnp
 
+from ..ops.gather import table_lookup
 from .base import RecModel
 from .losses import bpr_loss, l2_reg
 
@@ -33,7 +34,7 @@ class PairwiseGMF(RecModel):
         }
 
     def score_pairs(self, params, users, items):
-        prod = params["user_memory"][users] * params["item_memory"][items]
+        prod = table_lookup(params["user_memory"], users) * table_lookup(params["item_memory"], items)
         return jax.nn.relu(prod @ params["v"])[..., 0]
 
     def score_candidates(self, params, users, cand_items):
@@ -45,9 +46,9 @@ class PairwiseGMF(RecModel):
         pos_scores = self.score_pairs(params, users, pos)
         neg_scores = self.score_pairs(params, users, neg)
         reg = l2_reg(
-            params["user_memory"][users],
-            params["item_memory"][pos],
-            params["item_memory"][neg],
+            table_lookup(params["user_memory"], users),
+            table_lookup(params["item_memory"], pos),
+            table_lookup(params["item_memory"], neg),
             batch_size=users.shape[0],
         )
         return bpr_loss(pos_scores, neg_scores) + self.reg * reg

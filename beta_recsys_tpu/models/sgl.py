@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.graph import pack_propagator, sgl_augment
+from ..ops.gather import table_lookup
 from .base import RecModel
 
 
@@ -88,14 +89,14 @@ class SGL(RecModel):
     def loss(self, params, batch, rng):
         users, pos, neg = batch["users"], batch["pos_items"], batch["neg_items"]
         u_final, i_final = self.propagate(params)
-        u_e, p_e, n_e = u_final[users], i_final[pos], i_final[neg]
+        u_e, p_e, n_e = (table_lookup(u_final, users), table_lookup(i_final, pos), table_lookup(i_final, neg))
         pos_scores = jnp.sum(u_e * p_e, axis=1)
         neg_scores = jnp.sum(u_e * n_e, axis=1)
         bpr = -jnp.sum(jnp.log(jax.nn.sigmoid(pos_scores - neg_scores) + 1e-10))
         reg = 0.5 * (
-            jnp.sum(params["user_emb"][users] ** 2)
-            + jnp.sum(params["item_emb"][pos] ** 2)
-            + jnp.sum(params["item_emb"][neg] ** 2)
+            jnp.sum(table_lookup(params["user_emb"], users) ** 2)
+            + jnp.sum(table_lookup(params["item_emb"], pos) ** 2)
+            + jnp.sum(table_lookup(params["item_emb"], neg) ** 2)
         )
         k1, k2 = jax.random.split(rng)
         u1, i1 = self._augmented_view(params, k1)

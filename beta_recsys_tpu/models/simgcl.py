@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.graph import pack_propagator
+from ..ops.gather import table_lookup
 from .base import RecModel
 
 
@@ -68,7 +69,7 @@ class SimGCL(RecModel):
     def loss(self, params, batch, rng):
         users, pos, neg = batch["users"], batch["pos_items"], batch["neg_items"]
         u_final, i_final = self.propagate(params)
-        u_e, p_e, n_e = u_final[users], i_final[pos], i_final[neg]
+        u_e, p_e, n_e = (table_lookup(u_final, users), table_lookup(i_final, pos), table_lookup(i_final, neg))
         pos_scores = jnp.sum(u_e * p_e, axis=-1)
         neg_scores = jnp.sum(u_e * n_e, axis=-1)
         rec_loss = -jnp.sum(jnp.log(1e-7 + jax.nn.sigmoid(pos_scores - neg_scores)))

@@ -15,6 +15,8 @@ difference |t_i - t_j| clipped to time_span
 import jax
 import jax.numpy as jnp
 
+from ..ops.gather import table_lookup
+
 from ..ops.attention import (
     init_ffn_params,
     init_ln_params,
@@ -109,7 +111,7 @@ class TiSASRec(SASRec):
     def seq2feats(self, params, log_seqs, time_matrices, rng=None):
         d = self.emb_dim
         T = log_seqs.shape[1]
-        seqs = params["item_emb"][log_seqs] * jnp.sqrt(d).astype(jnp.float32)
+        seqs = table_lookup(params["item_emb"], log_seqs) * jnp.sqrt(d).astype(jnp.float32)
         if rng is not None and self.dropout_rate > 0:
             rng, sub = jax.random.split(rng)
             seqs = inverted_dropout(sub, seqs, self.dropout_rate)
@@ -137,8 +139,8 @@ class TiSASRec(SASRec):
     def loss(self, params, batch, rng):
         seq, pos, neg, tm = batch["seq"], batch["pos"], batch["neg"], batch["time_matrix"]
         feats = self.seq2feats(params, seq, tm, rng=rng)
-        pos_logits = jnp.sum(feats * params["item_emb"][pos], axis=-1)
-        neg_logits = jnp.sum(feats * params["item_emb"][neg], axis=-1)
+        pos_logits = jnp.sum(feats * table_lookup(params["item_emb"], pos), axis=-1)
+        neg_logits = jnp.sum(feats * table_lookup(params["item_emb"], neg), axis=-1)
         mask = (pos != 0).astype(jnp.float32)
         n_valid = jnp.maximum(jnp.sum(mask), 1.0)
         loss = jnp.sum(

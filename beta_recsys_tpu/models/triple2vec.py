@@ -10,6 +10,7 @@ over 3 * batch. Prediction: u · (i1_emb + i2_emb)/2.
 import jax
 import jax.numpy as jnp
 
+from ..ops.gather import table_lookup
 from .base import RecModel
 
 
@@ -41,9 +42,9 @@ class Triple2vec(RecModel):
         u, i1, i2 = batch["users"], batch["item1"], batch["item2"]
         nu, ni1, ni2 = batch["neg_users"], batch["neg_item1"], batch["neg_item2"]
         it1, it2 = self._item_tables(params)
-        e_u = params["user_emb"][u]
-        e_1 = it1[i1]
-        e_2 = it2[i2]
+        e_u = table_lookup(params["user_emb"], u)
+        e_1 = table_lookup(it1, i1)
+        e_2 = table_lookup(it2, i2)
         B = u.shape[0]
 
         def skipgram(center_emb, context, center_bias, neg_emb, neg_bias):
@@ -53,15 +54,15 @@ class Triple2vec(RecModel):
             return -(jnp.sum(pos) + jnp.sum(neg))
 
         l_u = skipgram(
-            e_u, e_1 + e_2, params["user_bias"][u],
+            e_u, e_1 + e_2, table_lookup(params["user_bias"], u),
             params["user_emb"][nu], params["user_bias"][nu],
         )
         l_1 = skipgram(
-            e_1, e_u + e_2, params["item_bias"][i1],
+            e_1, e_u + e_2, table_lookup(params["item_bias"], i1),
             it1[ni1], params["item_bias"][ni1],
         )
         l_2 = skipgram(
-            e_2, e_u + e_1, params["item_bias"][i2],
+            e_2, e_u + e_1, table_lookup(params["item_bias"], i2),
             it2[ni2], params["item_bias"][ni2],
         )
         return (l_u + l_1 + l_2) / (3 * B)

@@ -11,6 +11,8 @@ Prediction conditions on the final time bucket.
 import jax
 import jax.numpy as jnp
 
+from ..ops.gather import table_lookup
+
 from .mlp import _dense_init
 from .vbcar import VBCAR
 
@@ -88,9 +90,9 @@ class TVBR(VBCAR):
         ni2_cur, ni2_pri = self._encode_time(params, ni2, t, "i")
 
         cat = jnp.concatenate
-        e_u = cat([self._sample(keys[0], u_cur), params["user_emb"][u]], -1)
-        e_1 = cat([self._sample(keys[1], i1_cur), params["item_emb"][i1]], -1)
-        e_2 = cat([self._sample(keys[2], i2_cur), params["item_emb"][i2]], -1)
+        e_u = cat([self._sample(keys[0], u_cur), table_lookup(params["user_emb"], u)], -1)
+        e_1 = cat([self._sample(keys[1], i1_cur), table_lookup(params["item_emb"], i1)], -1)
+        e_2 = cat([self._sample(keys[2], i2_cur), table_lookup(params["item_emb"], i2)], -1)
         e_nu = cat([self._sample(keys[3], nu_cur), params["user_emb"][nu]], -1)
         e_n1 = cat([self._sample(keys[4], ni1_cur), params["item_emb"][ni1]], -1)
         e_n2 = cat([self._sample(keys[5], ni2_cur), params["item_emb"][ni2]], -1)

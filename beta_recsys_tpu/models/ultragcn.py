@@ -16,6 +16,7 @@ Artifacts:
 import jax
 import jax.numpy as jnp
 
+from ..ops.gather import table_lookup
 from .base import RecModel
 
 
@@ -50,8 +51,8 @@ class UltraGCN(RecModel):
 
     def loss(self, params, batch, rng):
         users, pos, negs = batch["users"], batch["pos_items"], batch["neg_items"]
-        u_e = params["user_emb"][users]
-        p_e = params["item_emb"][pos]
+        u_e = table_lookup(params["user_emb"], users)
+        p_e = table_lookup(params["item_emb"], pos)
         n_e = params["item_emb"][negs]  # (B, N, d)
 
         pos_w = self.w1 + self.w2 * self.beta_uD[users] * self.beta_iD[pos] \

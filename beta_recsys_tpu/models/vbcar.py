@@ -14,6 +14,7 @@ Artifacts: {"user_fea": (n_users, F_u), "item_fea": (n_items, F_i)}
 import jax
 import jax.numpy as jnp
 
+from ..ops.gather import table_lookup
 from .base import RecModel
 from .mlp import _dense_init
 
@@ -96,9 +97,9 @@ class VBCAR(RecModel):
         ni2_dis = self.item_encode(params, ni2)
 
         cat = jnp.concatenate
-        e_u = cat([self._sample(keys[0], u_dis), params["user_emb"][u]], -1)
-        e_1 = cat([self._sample(keys[1], i1_dis), params["item_emb"][i1]], -1)
-        e_2 = cat([self._sample(keys[2], i2_dis), params["item_emb"][i2]], -1)
+        e_u = cat([self._sample(keys[0], u_dis), table_lookup(params["user_emb"], u)], -1)
+        e_1 = cat([self._sample(keys[1], i1_dis), table_lookup(params["item_emb"], i1)], -1)
+        e_2 = cat([self._sample(keys[2], i2_dis), table_lookup(params["item_emb"], i2)], -1)
         e_nu = cat([self._sample(keys[3], nu_dis), params["user_emb"][nu]], -1)
         e_n1 = cat([self._sample(keys[4], ni1_dis), params["item_emb"][ni1]], -1)
         e_n2 = cat([self._sample(keys[5], ni2_dis), params["item_emb"][ni2]], -1)

@@ -46,7 +46,12 @@ def _mxu_lookup_for(shape, dtype_name):
         if len(shape) == 1:
             g_table = jnp.einsum("bn,b->n", onehot, g.reshape(-1))
         else:
-            g_table = jnp.einsum("bn,bd->nd", onehot, g.reshape(-1, shape[-1]))
+            # arbitrary trailing dims (e.g. (N, H, d) hop tensors): flatten
+            # features for the matmul, reshape back
+            feat = int(np.prod(shape[1:]))
+            g_table = jnp.einsum(
+                "bn,bf->nf", onehot, g.reshape(-1, feat)
+            ).reshape(shape)
         return (g_table.astype(dtype_name),
                 np.zeros(ids.shape, dtype=jax.dtypes.float0))
 
