@@ -58,6 +58,8 @@ def main():
     parser.add_argument("--n_items", type=int, default=50_000)
     parser.add_argument("--emb_dim", type=int, default=64)
     parser.add_argument("--sparse", action="store_true", help="sweep the sharded sparse (lazy-Adam, row-sharded tables) trainer instead")
+    parser.add_argument("--model", default="MF", choices=["MF", "NCF", "LightGCN", "SASRec"],
+                        help="dense data-parallel sweeps cover all four north-star models (--sparse implies MF)")
     parser.add_argument("--report", action="store_true", help="write SCALING_REPORT.md")
     args = parser.parse_args()
 
@@ -69,7 +71,11 @@ def main():
 
     import numpy as np
 
-    from beta_recsys_tpu.core.train_engine import make_epoch_fn, make_optimizer
+    from beta_recsys_tpu.core.train_engine import (
+        make_epoch_fn,
+        make_optimizer,
+        make_sequence_epoch_fn,
+    )
     from beta_recsys_tpu.data.base_data import TrainArrays
     from beta_recsys_tpu.models.mf import MF
     from beta_recsys_tpu.ops.sampling import uniform_negatives
@@ -82,10 +88,73 @@ def main():
         items=rng.integers(0, args.n_items, args.n_interactions).astype(np.int32),
         ratings=np.ones(args.n_interactions, np.float32),
     )
-    cfg = {"model": "MF", "emb_dim": args.emb_dim, "loss": "bpr", "optimizer": "adam", "lr": 0.01}
-    model = MF(cfg, args.n_users, args.n_items)
-    optimizer = make_optimizer(cfg)
+    model_name = "MF" if args.sparse else args.model
     sampler = lambda key, users, shape: uniform_negatives(key, shape, args.n_items)
+
+    seq_arrays = None
+    if model_name == "MF":
+        cfg = {"model": "MF", "emb_dim": args.emb_dim, "loss": "bpr", "optimizer": "adam", "lr": 0.01}
+        model = MF(cfg, args.n_users, args.n_items)
+    elif model_name == "NCF":
+        from beta_recsys_tpu.models.ncf import NeuMF
+
+        cfg = {"model": "NCF", "emb_dim": args.emb_dim // 4 or 8,
+               "mlp_config": {"n_layers": 3}, "num_negative": 4,
+               "optimizer": "adam", "lr": 0.001}
+        model = NeuMF(cfg, args.n_users, args.n_items)
+    elif model_name == "LightGCN":
+        import pandas as pd
+
+        from beta_recsys_tpu.data.base_data import BaseData
+        from beta_recsys_tpu.models.lightgcn import LightGCN
+        from beta_recsys_tpu.utils.constants import (
+            DEFAULT_ITEM_COL, DEFAULT_RATING_COL, DEFAULT_TIMESTAMP_COL,
+            DEFAULT_USER_COL,
+        )
+
+        df = pd.DataFrame({
+            DEFAULT_USER_COL: np.asarray(arrays.users),
+            DEFAULT_ITEM_COL: np.asarray(arrays.items),
+            DEFAULT_RATING_COL: np.ones(args.n_interactions, np.float32),
+            DEFAULT_TIMESTAMP_COL: np.arange(args.n_interactions),
+        })
+        gdata = BaseData((df, [], []), intersect=False)
+        cfg = {"model": "LightGCN", "emb_dim": args.emb_dim,
+               "layer_size": [64, 64, 64], "regs": [1e-5], "keep_pro": 1.0,
+               "optimizer": "adam", "lr": 0.001}
+        model = LightGCN(cfg, gdata.n_users, gdata.n_items,
+                         artifacts={"adj": gdata.get_norm_adj("sym")})
+        arrays = gdata.train_arrays()
+        sampler = lambda key, users, shape: uniform_negatives(key, shape, gdata.n_items)
+    elif model_name == "SASRec":
+        import pandas as pd
+
+        from beta_recsys_tpu.data.sequential_data import SequentialData
+        from beta_recsys_tpu.models.sasrec import SASRec
+        from beta_recsys_tpu.utils.constants import (
+            DEFAULT_ITEM_COL, DEFAULT_RATING_COL, DEFAULT_TIMESTAMP_COL,
+            DEFAULT_USER_COL,
+        )
+
+        per_user = max(args.n_interactions // args.n_users, 3)
+        n_seq_users = args.n_interactions // per_user
+        df = pd.DataFrame({
+            DEFAULT_USER_COL: np.repeat(np.arange(n_seq_users), per_user),
+            DEFAULT_ITEM_COL: rng.integers(0, args.n_items, n_seq_users * per_user),
+            DEFAULT_RATING_COL: np.ones(n_seq_users * per_user, np.float32),
+            DEFAULT_TIMESTAMP_COL: np.tile(np.arange(per_user), n_seq_users),
+        })
+        sdata = SequentialData((df, [], []), intersect=False)
+        maxlen = 50
+        cfg = {"model": "SASRec", "emb_dim": args.emb_dim, "maxlen": maxlen,
+               "num_blocks": 2, "num_heads": 2, "dropout_rate": 0.0,
+               "l2_emb": 0.0, "optimizer": "adam", "lr": 0.001}
+        model = SASRec(cfg, sdata.n_users, sdata.n_items)
+        seq_arrays = sdata.train_seq_arrays(maxlen)
+        from beta_recsys_tpu.core.train_engine import make_negative_sampler
+
+        sampler = make_negative_sampler(sdata, "bitmask")
+    optimizer = make_optimizer(cfg)
 
     results = {}
     rows = []
@@ -127,9 +196,17 @@ def main():
             )
         else:
             mesh = make_mesh(n_data=size, n_model=1) if size > 1 else None
-            epoch_fn = make_epoch_fn(
-                model, optimizer, arrays, batch, sampler, donate=False, mesh=mesh
-            )
+            if model_name == "SASRec":
+                epoch_fn = make_sequence_epoch_fn(
+                    model, optimizer, seq_arrays, batch, sampler,
+                    donate=False, mesh=mesh,
+                )
+            else:
+                epoch_fn = make_epoch_fn(
+                    model, optimizer, arrays, batch, sampler, donate=False,
+                    mesh=mesh,
+                    num_neg=int(cfg.get("num_negative", 1)),
+                )
             params = model.init_params(jax.random.key(0))
             opt_state = optimizer.init(params)
         p, o, k, loss = epoch_fn(params, opt_state, jax.random.key(1))
@@ -139,7 +216,9 @@ def main():
             p, o, k, loss = epoch_fn(p, o, k)
         float(loss)
         dt = (time.time() - t0) / 3
-        eps = args.n_interactions / dt
+        n_examples = (len(seq_arrays["users"]) if model_name == "SASRec"
+                      else args.n_interactions)
+        eps = n_examples / dt
         results[size] = eps
         base = results[1]
         row = {
@@ -149,7 +228,9 @@ def main():
             "scaling_efficiency": round(eps / (base * size), 3),
         }
         if size > 1:
-            num_batches = -(-args.n_interactions // batch)
+            n_examples = (len(seq_arrays["users"]) if model_name == "SASRec"
+                          else args.n_interactions)
+            num_batches = -(-n_examples // batch)
             row["comm"] = comm_model(
                 epoch_fn, (params, opt_state, jax.random.key(1)), size, num_batches
             )
@@ -162,9 +243,11 @@ def main():
 
 
 def write_report(rows, args):
+    model_name = "MF" if args.sparse else args.model
     mode = "sparse (row-sharded lazy-Adam)" if args.sparse else "dense (data-parallel)"
+    section_key = "## {} — {} trainer".format(model_name, mode)
     lines = [
-        "# Scaling report — MF {} trainer".format(mode),
+        section_key,
         "",
         "Workload: {:,} interactions, {:,} users x {:,} items, d={}, "
         "batch/device={}.".format(
@@ -219,9 +302,25 @@ def write_report(rows, args):
         ),
         "",
     ]
+    # merge: replace this model/mode's section in SCALING_REPORT.md, keep others
+    import os
+    import re
+
+    header = ("# Scaling report — comm-model scaling across the north-star "
+              "models\n\nEach section: examples/s vs mesh size plus the "
+              "compiled HLO's per-step collective bytes (hardware-predictive "
+              "even on the virtual CPU mesh).\n")
+    existing = ""
+    if os.path.exists("SCALING_REPORT.md"):
+        with open("SCALING_REPORT.md") as f:
+            existing = f.read()
+    sections = re.split(r"\n(?=## )", existing)
+    sections = [sec for sec in sections
+                if sec.startswith("## ") and not sec.startswith(section_key)]
+    sections.append("\n".join(lines).rstrip() + "\n")
     with open("SCALING_REPORT.md", "w") as f:
-        f.write("\n".join(lines))
-    print("wrote SCALING_REPORT.md")
+        f.write(header + "\n" + "\n".join(sections))
+    print("wrote SCALING_REPORT.md section: " + section_key)
 
 
 if __name__ == "__main__":
