@@ -374,8 +374,81 @@ def run_reference_sasrec(split, seed, run_dir, max_epoch=400, patience=40):
     return _train_with_early_stop(train_epoch, predict_fn, data, max_epoch, patience)
 
 
+def run_reference_sasrec_fixed(split, seed, run_dir, max_epoch=400, patience=40):
+    """The reference SASRec with its two pipeline defects corrected — and
+    NOTHING else changed: (1) train sequences in forward chronology (their
+    get_train_seq sorts timestamps DESCENDING), (2) eval ranks by raw logits
+    (their seq_predict multiplies by -1). Model, engine, sampler, and
+    hyperparameters stay the reference's verbatim. This isolates whether the
+    verbatim run's at-random result comes from the architecture or from the
+    pipeline quirks."""
+    from beta_recsys_tpu.utils.constants import (
+        DEFAULT_ITEM_COL,
+        DEFAULT_TIMESTAMP_COL,
+        DEFAULT_USER_COL,
+    )
+    from beta_rec.data.sequential_data import SequentialData
+    from beta_rec.models.sasrec import SASRecEngine
+    from beta_rec.recommenders.sasrec import sample_function
+
+    _seed_everything(seed)
+    data = SequentialData(copy.deepcopy(split))
+    maxlen = 100
+    cfg = _base_config(
+        {"n_users": data.n_users, "n_items": data.n_items, "emb_dim": 64,
+         "num_blocks": 2, "num_heads": 2, "maxlen": maxlen, "batch_size": 128,
+         "dropout_rate": 0.1, "optimizer": "adam", "lr": 0.001, "l2_emb": 0.0},
+        run_dir,
+    )
+    engine = SASRecEngine(cfg)
+    # fix (1): ascending chronology
+    train_seq = (
+        data.train.sort_values(by=[DEFAULT_TIMESTAMP_COL], ascending=True)
+        .groupby([DEFAULT_USER_COL])[DEFAULT_ITEM_COL]
+        .apply(list)
+    )
+
+    import queue
+
+    q = queue.Queue()
+
+    class _OneShotQueue:
+        def put(self, item):
+            q.put(item)
+            raise StopIteration
+
+    def draw_batches(n):
+        out = []
+        for _ in range(n):
+            try:
+                sample_function(train_seq, data.n_users, data.n_items, 128,
+                                maxlen, _OneShotQueue(), np.random.randint(2**31))
+            except (StopIteration, RuntimeError):
+                pass
+            out.append(q.get())
+        return out
+
+    def train_epoch(epoch):
+        engine.model.train()
+        for batch in draw_batches(engine.num_batch):
+            u, seq, pos, neg = batch
+            engine.train_single_batch(
+                (np.array(list(u)), np.array(list(seq)),
+                 np.array(list(pos)), np.array(list(neg))))
+
+    def predict_fn(df):
+        engine.model.eval()
+        # fix (2): rank by raw logits (negate=False)
+        return _seq_predict_batched(engine.model, train_seq, df, maxlen,
+                                    negate=False)
+
+    return _train_with_early_stop(train_epoch, predict_fn, data, max_epoch,
+                                  patience)
+
+
 RUNNERS = {"MF": run_reference_mf, "NCF": run_reference_ncf,
-           "LightGCN": run_reference_lightgcn, "SASRec": run_reference_sasrec}
+           "LightGCN": run_reference_lightgcn, "SASRec": run_reference_sasrec,
+           "SASRec_fixed": run_reference_sasrec_fixed}
 
 
 def main():
@@ -400,7 +473,14 @@ def main():
     ds = DATASET_REGISTRY["synthetic_structured"](root_dir=args.root_dir)
     split = ds.load_leave_one_out(n_test=args.n_test, n_negative=args.n_negative)
 
+    # merge with prior runs so per-model invocations accumulate
     results = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results = json.load(f).get("results", {})
+        except Exception:
+            pass
     for model in [m.strip() for m in args.models.split(",") if m.strip()]:
         runs = []
         for seed in [int(s) for s in args.seeds.split(",")]:
