@@ -63,13 +63,23 @@ def _mxu_lookup(table, ids):
     return _mxu_lookup_for(tuple(table.shape), str(table.dtype))(table, ids)
 
 
+# cap on the materialized (B, N) one-hot: past this the backward's scratch
+# memory outweighs the scatter win (e.g. B=131072 x N=8192 would be 4.3 GB)
+MXU_LOOKUP_MAX_ONEHOT_BYTES = 1 << 29  # 512 MB
+
+
 def table_lookup(table, ids, max_mxu_rows=MXU_LOOKUP_MAX_ROWS):
     """``table[ids]`` with a scatter-free (one-hot matmul) VJP for small tables.
 
     Identical values either way; gradients agree up to float reassociation
-    (matmul accumulation order vs scatter order). Large tables fall through
-    to the native gather/scatter pair.
+    (matmul accumulation order vs scatter order). Large tables — or huge
+    batches whose (B, N) one-hot would not fit sanely — fall through to the
+    native gather/scatter pair.
     """
-    if table.shape[0] <= max_mxu_rows:
+    n_ids = 1
+    for d in ids.shape:
+        n_ids *= int(d)
+    onehot_bytes = n_ids * int(table.shape[0]) * 4
+    if table.shape[0] <= max_mxu_rows and onehot_bytes <= MXU_LOOKUP_MAX_ONEHOT_BYTES:
         return _mxu_lookup(table, ids)
     return table[ids]
