@@ -254,10 +254,12 @@ def write_report(path, synth_results, real_results, n_negative, seeds, meta):
             f"only the two pipeline defects fixed — forward chronology + "
             f"non-negated eval logits): ndcg@10 {fm:.4f} ± {fs:.4f}"
             + (f" vs ours {ours_sas:.4f}" if ours_sas else "")
-            + ". This isolates the verbatim run's at-random result to the "
-            "pipeline quirks, not the architecture.",
+            + ".",
             "",
         ]
+        ctrl = fixed.get("long_control")
+        if ctrl:
+            lines += [f"Long-budget control: {ctrl['description']}", ""]
     if h2h:
         lines += [
             "Reference quirks surface honestly in its column: its SASRec "
