@@ -10,7 +10,7 @@ effectively trains with reg=0; here ``reg`` from the model config is honored.)
 import jax
 import jax.numpy as jnp
 
-from ..ops.gather import table_lookup
+from ..ops.gather import grouped_table_lookup, table_lookup
 from .base import RecModel
 from .losses import bce_loss, bpr_loss, l2_reg
 
@@ -51,14 +51,14 @@ class MF(RecModel):
         return jax.nn.sigmoid(scores + params["global_bias"])
 
     def score_pairs(self, params, users, items):
-        # table_lookup: scatter-free one-hot-matmul VJP for small tables
-        # (ops/gather.py — the dense backward was scatter-bound at ~83ns/row)
-        u_emb = table_lookup(params["user_emb"], users)
-        i_emb = table_lookup(params["item_emb"], items)
+        # grouped scatter-free lookup (ops/gather.py): emb + bias of each id
+        # set share ONE one-hot matmul in the backward
+        u_emb, u_bias = grouped_table_lookup(
+            (params["user_emb"], params["user_bias"]), users)
+        i_emb, i_bias = grouped_table_lookup(
+            (params["item_emb"], params["item_bias"]), items)
         logits = (
-            jnp.sum(u_emb * i_emb, axis=-1)
-            + table_lookup(params["user_bias"], users)
-            + table_lookup(params["item_bias"], items)
+            jnp.sum(u_emb * i_emb, axis=-1) + u_bias + i_bias
             + params["global_bias"]
         )
         return jax.nn.sigmoid(logits)
@@ -77,13 +77,11 @@ class MF(RecModel):
         return jax.nn.sigmoid(logits)
 
     def _reg_term(self, params, users, items):
-        return l2_reg(
-            table_lookup(params["user_emb"], users),
-            table_lookup(params["item_emb"], items),
-            table_lookup(params["user_bias"], users),
-            table_lookup(params["item_bias"], items),
-            batch_size=users.shape[0],
-        )
+        u_emb, u_bias = grouped_table_lookup(
+            (params["user_emb"], params["user_bias"]), users)
+        i_emb, i_bias = grouped_table_lookup(
+            (params["item_emb"], params["item_bias"]), items)
+        return l2_reg(u_emb, i_emb, u_bias, i_bias, batch_size=users.shape[0])
 
     def loss(self, params, batch, rng):
         if self.loss_type == "bpr":

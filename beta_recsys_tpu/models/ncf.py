@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import inverted_dropout
-from ..ops.gather import table_lookup
+from ..ops.gather import grouped_table_lookup
 from .base import RecModel
 from .losses import bce_loss
 from .mlp import _dense_init
@@ -57,10 +57,14 @@ class NeuMF(RecModel):
         return params
 
     def _forward(self, params, users, items, rng=None):
-        mlp_vec = jnp.concatenate(
-            [table_lookup(params["user_emb_mlp"], users), table_lookup(params["item_emb_mlp"], items)], axis=-1
-        )
-        gmf_vec = table_lookup(params["user_emb_gmf"], users) * table_lookup(params["item_emb_gmf"], items)
+        # grouped scatter-free lookups: the mlp+gmf tables of each id set
+        # share one one-hot matmul in the backward (ops/gather.py)
+        u_mlp, u_gmf = grouped_table_lookup(
+            (params["user_emb_mlp"], params["user_emb_gmf"]), users)
+        i_mlp, i_gmf = grouped_table_lookup(
+            (params["item_emb_mlp"], params["item_emb_gmf"]), items)
+        mlp_vec = jnp.concatenate([u_mlp, i_mlp], axis=-1)
+        gmf_vec = u_gmf * i_gmf
         for layer in params["layers"]:
             if rng is not None and self.dropout > 0:
                 rng, sub = jax.random.split(rng)

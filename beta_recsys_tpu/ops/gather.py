@@ -83,3 +83,60 @@ def table_lookup(table, ids, max_mxu_rows=MXU_LOOKUP_MAX_ROWS):
     if table.shape[0] <= max_mxu_rows and onehot_bytes <= MXU_LOOKUP_MAX_ONEHOT_BYTES:
         return _mxu_lookup(table, ids)
     return table[ids]
+
+
+@functools.lru_cache(maxsize=None)
+def _grouped_lookup_for(shapes, dtype_names):
+    """Grouped custom_vjp lookup: several tables OF THE SAME HEIGHT gathered
+    with the SAME ids share ONE one-hot matmul in the backward (cotangents
+    concatenate along features). Measured perf-neutral vs per-table
+    _mxu_lookup on the ml-100k shapes (XLA already CSEs/fuses the shared
+    one-hot); kept because it halves the backward op count for multi-table
+    models (MF emb+bias, NCF mlp+gmf) — fewer ops to schedule, same math."""
+    n_rows = shapes[0][0]
+    widths = [1 if len(s) == 1 else int(np.prod(s[1:])) for s in shapes]
+    offsets = np.concatenate([[0], np.cumsum(widths)])
+
+    @jax.custom_vjp
+    def lookup(tables, ids):
+        return tuple(t[ids] for t in tables)
+
+    def fwd(tables, ids):
+        return lookup(tables, ids), ids
+
+    def bwd(ids, gs):
+        flat_ids = ids.reshape(-1)
+        onehot = jax.nn.one_hot(flat_ids, n_rows, dtype=jnp.float32)
+        gcat = jnp.concatenate(
+            [g.reshape(len(flat_ids), w) for g, w in zip(gs, widths)], axis=1
+        )
+        gt = jnp.einsum("bn,bf->nf", onehot, gcat)  # (N, sum_w): ONE matmul
+        grads = []
+        for shape, dtype_name, w, off in zip(shapes, dtype_names, widths, offsets):
+            piece = gt[:, off : off + w]
+            piece = piece[:, 0] if len(shape) == 1 else piece.reshape(shape)
+            grads.append(piece.astype(dtype_name))
+        return (tuple(grads), np.zeros(ids.shape, dtype=jax.dtypes.float0))
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
+def grouped_table_lookup(tables, ids, max_mxu_rows=MXU_LOOKUP_MAX_ROWS):
+    """Gather the same ``ids`` from several same-height tables with one shared
+    scatter-free backward. Falls back to independent native gathers when the
+    tables are tall or the one-hot would blow the scratch cap."""
+    tables = tuple(tables)
+    n_rows = tables[0].shape[0]
+    assert all(t.shape[0] == n_rows for t in tables), "heights must match"
+    n_ids = 1
+    for d in ids.shape:
+        n_ids *= int(d)
+    if (n_rows <= max_mxu_rows
+            and n_ids * n_rows * 4 <= MXU_LOOKUP_MAX_ONEHOT_BYTES):
+        fn = _grouped_lookup_for(
+            tuple(tuple(t.shape) for t in tables),
+            tuple(str(t.dtype) for t in tables),
+        )
+        return fn(tables, ids)
+    return tuple(t[ids] for t in tables)

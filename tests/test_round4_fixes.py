@@ -209,3 +209,40 @@ def test_table_lookup_scatter_free_vjp_matches_gather():
     # large tables fall through to the native path (no one-hot blowup)
     big = jnp.zeros((10_000, 4))
     assert table_lookup(big, ids).shape == (6, 4)
+
+
+def test_grouped_table_lookup_matches_per_table():
+    """grouped_table_lookup: one shared one-hot backward for same-height
+    tables == the per-table native gather/scatter gradients."""
+    import jax.numpy as jnp
+
+    from beta_recsys_tpu.ops.gather import grouped_table_lookup
+
+    rng = np.random.default_rng(1)
+    emb = jnp.asarray(rng.normal(size=(30, 8)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(30,)).astype(np.float32))
+    ids = jnp.asarray([2, 9, 9, 0, 29], dtype=jnp.int32)
+    w = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+
+    e, b = grouped_table_lookup((emb, bias), ids)
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(emb[ids]))
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(bias[ids]))
+
+    def loss_grouped(emb, bias):
+        e, b = grouped_table_lookup((emb, bias), ids)
+        return jnp.sum(e * w) + jnp.sum(b ** 2)
+
+    def loss_native(emb, bias):
+        return jnp.sum(emb[ids] * w) + jnp.sum(bias[ids] ** 2)
+
+    g1 = jax.grad(loss_grouped, argnums=(0, 1))(emb, bias)
+    g2 = jax.grad(loss_native, argnums=(0, 1))(emb, bias)
+    for a, b2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   rtol=1e-6, atol=1e-6)
+
+    # tall tables fall through to native gathers
+    tall = jnp.zeros((20_000, 4))
+    tall_b = jnp.zeros((20_000,))
+    out = grouped_table_lookup((tall, tall_b), ids)
+    assert out[0].shape == (5, 4) and out[1].shape == (5,)
