@@ -85,3 +85,19 @@ def test_all_per_model_wrappers_parse():
             capture_output=True, text=True, timeout=120, cwd=REPO,
         )
         assert r.returncode == 0, f"{name}: {r.stderr[-500:]}"
+
+
+def test_serve_topk_cli(workdir):
+    """Serving surface: train briefly, emit top-k CSV (examples/serve_topk.py)."""
+    r = _run(
+        ["examples/serve_topk.py", "--dataset", "synthetic", "--k", "3",
+         "--max_epoch", "2", "--users", "0,1", "--out", "topk.csv"],
+        workdir,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(workdir / "topk.csv")
+    import pandas as pd
+
+    t = pd.read_csv(workdir / "topk.csv")
+    assert set(t.columns) >= {"col_user", "col_item", "col_prediction", "rank"}
+    assert len(t) == 6 and t["rank"].max() == 3
