@@ -375,6 +375,63 @@ def bench_sparse_large(n_users=1_000_000, n_items=100_000, n_inter=2_000_000, n_
 
 
 
+def bench_retrieval_scale(n_users=10_240, n_items=162_000, k=10, n_repeats=3):
+    """Full-catalog streaming retrieval at ml-25m item scale: time the
+    streaming top-k over (n_users x 162k items) with train-item exclusion —
+    the serving surface (`Recommender.recommend`) and the
+    TopKRetrievalEvaluator share this path. The reference has no retrieval
+    API at all (its pandas eval cannot touch this scale)."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from beta_recsys_tpu.models.mf import MF
+    from beta_recsys_tpu.ops.topk import streaming_topk
+
+    cfg = {"model": "MF", "emb_dim": 64, "loss": "bpr"}
+    model = MF(cfg, n_users, n_items)
+    params = model.init_params(jax.random.key(0))
+    u_emb, i_emb = model.user_item_embeddings_trimmed(params)
+
+    rng = np.random.default_rng(0)
+    rows = np.repeat(np.arange(n_users), 20)
+    cols = rng.integers(0, n_items, n_users * 20)
+    train_csr = sp.csr_matrix(
+        (np.ones(len(rows), np.float32), (rows, cols)), shape=(n_users, n_items)
+    )
+
+    user_block, item_block = 1024, 8192
+
+    @jax.jit
+    def top_block(u_blk, excl_rows, excl_cols):
+        excl = jnp.zeros((user_block, n_items), bool).at[excl_rows, excl_cols].set(
+            True, mode="drop"
+        )
+        return streaming_topk(u_blk, i_emb, k, block=item_block, exclude_mask=excl)
+
+    blocks = []
+    for start in range(0, n_users, user_block):
+        sub = train_csr[start : start + user_block].tocoo()
+        blocks.append((jnp.asarray(u_emb[start : start + user_block]),
+                       jnp.asarray(sub.row.astype(np.int32)),
+                       jnp.asarray(sub.col.astype(np.int32))))
+
+    def sweep():
+        outs = [top_block(u, r, c) for u, r, c in blocks]
+        return outs[-1]
+
+    _, idx = sweep()
+    jax.device_get(idx)  # compile + sync
+    rtt = _rtt()
+    t0 = time.time()
+    for _ in range(n_repeats):
+        _, idx = sweep()
+    jax.device_get(idx)
+    dt = max(time.time() - t0 - rtt, 1e-9) / n_repeats
+    return n_users / dt, dt
+
+
+
 def _flush(details):
     """Merge-write BENCH_DETAILS.json after EVERY entry: a transient tunnel
     error mid-sweep must not lose the measurements already taken."""
@@ -595,6 +652,17 @@ def main(full=False):
             "full_catalog_eval_sec": full_sec,
             "reference_eval_sec": 9.3,
             "vs_reference_candidate": 9.3 / cand_sec,
+        }
+        _flush(details)
+
+        # Retrieval at ml-25m item scale (serving surface; no reference analogue)
+        ret_ups, ret_dt = bench_retrieval_scale()
+        details["retrieval_10k_users_162k_items"] = {
+            "users_per_sec": ret_ups,
+            "sweep_sec": ret_dt,
+            "k": 10, "n_users": 10_240, "n_items": 162_000,
+            # traffic ~ each 1024-user block streams all item embeddings once
+            **_roofline_bw(-(-10_240 // 1024) * 162_000 * 64 * 4, ret_dt),
         }
         _flush(details)
 
