@@ -99,9 +99,16 @@ class Config:
 
     def __init__(self, raw):
         raw = copy.deepcopy(raw)
-        if not isinstance(raw.get("model", {}), dict) or not isinstance(
+        has_sectioned_key = any(
+            isinstance(raw.get(s), dict) for s in ("system", "dataset", "model")
+        )
+        flat_marker = not isinstance(raw.get("model", {}), dict) or not isinstance(
             raw.get("dataset", {}), dict
-        ):
+        )
+        # flat-legacy if 'model'/'dataset' appear as scalars, OR if no section
+        # appears as a dict at all (a flat config naming neither key would
+        # otherwise silently parse into four empty sections)
+        if flat_marker or (raw and not has_sectioned_key):
             raw = self._sectionize_flat(raw)
         object.__setattr__(self, "system", ConfigSection(raw.get("system", {})))
         object.__setattr__(self, "dataset", ConfigSection(raw.get("dataset", {})))
@@ -116,8 +123,12 @@ class Config:
 
     def __contains__(self, key):
         # without this, `"dataset" in config` falls back to integer-index
-        # iteration via __getitem__ and raises TypeError
-        return key in self.SECTIONS
+        # iteration via __getitem__ and raises TypeError. Also search the
+        # section dicts so reference-style `"test_rate" in config` membership
+        # tests keep their flat-dict semantics.
+        if key in self.SECTIONS:
+            return True
+        return any(key in getattr(self, s) for s in ("system", "dataset", "model"))
 
     def to_dict(self):
         return {

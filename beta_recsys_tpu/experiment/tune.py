@@ -62,7 +62,12 @@ def _init_worker(placement_queue):
     placement — env vars for the multi-slice recipe, platform/device-count
     for CPU-mesh partitioning)."""
     global _WORKER_PLACEMENT
-    placement = placement_queue.get()
+    try:
+        # a respawned worker (e.g. under max_tasks_per_child) would find the
+        # queue empty — fall back to no placement instead of hanging the pool
+        placement = placement_queue.get(timeout=30)
+    except Exception:
+        placement = None
     _WORKER_PLACEMENT = placement
     if placement:
         for k, v in placement.get("env", {}).items():
@@ -173,14 +178,16 @@ def tune(recommender_cls, config, data, tune_dir=None, processes=0, worker_env=N
         # a Manager queue hands each worker process exactly one placement
         # (initializer runs once per worker)
         manager = ctx.Manager()
-        q = manager.Queue()
-        for p in placements:
-            q.put(p)
-        with concurrent.futures.ProcessPoolExecutor(
-            processes, mp_context=ctx, initializer=_init_worker, initargs=(q,)
-        ) as pool:
-            results = list(pool.map(_run_trial, specs))
-        manager.shutdown()
+        try:
+            q = manager.Queue()
+            for p in placements:
+                q.put(p)
+            with concurrent.futures.ProcessPoolExecutor(
+                processes, mp_context=ctx, initializer=_init_worker, initargs=(q,)
+            ) as pool:
+                results = list(pool.map(_run_trial, specs))
+        finally:
+            manager.shutdown()
     else:
         results = []
         for cfg in trial_cfgs:
