@@ -38,6 +38,13 @@ from .eval_engine import EvalBookkeeper, RankingEvaluator, test_eval
 # Dense positive bitmasks are used for rejection sampling up to this many cells.
 _BITMASK_CELL_LIMIT = 64 * 1024 * 1024
 
+# Above this many bytes of embedding-row tables, a multi-device mesh build
+# auto-routes to the row-sharded sparse trainer: the dense data-parallel path
+# all-reduces the full table gradient each step (2 x bytes / 45 GB/s of ICI),
+# which alone breaks the >=80% scaling-efficiency target once tables pass
+# ~8 MB (SCALING_REPORT.md "predicted v5e-16 efficiency").
+AUTO_SPARSE_TABLE_BYTES = 8 * 1024 * 1024
+
 
 def make_optimizer(model_cfg):
     """Optimizer factory: sgd / adam / rmsprop (reference torch_engine.py:23-39)."""
@@ -533,23 +540,10 @@ class TrainEngine:
         # (all devices on the data axis). Params are placed per the standard
         # rule (row-sharded embedding tables over "model").
         kind = getattr(model, "batch_kind", "pairwise")
-        # Sparse path builds pairwise BPR batches against model.row_loss; only
-        # engage when that is actually the configured objective.
-        self._sparse_optim = (
-            bool(model_cfg.get("sparse_optim", False))
-            and hasattr(model, "row_tables")
-            and kind == "pairwise"
-        )
-        if model_cfg.get("sparse_optim", False) and not self._sparse_optim:
-            print(
-                "[warn] sparse_optim requested but the model/loss combination "
-                f"(batch_kind={kind}) has no row protocol; using the dense path"
-            )
         self.mesh = None
         mesh_cfg = sys_cfg.get("mesh")
         if mesh_cfg:
             from ..parallel.mesh import make_mesh
-            from ..parallel.sharding import default_param_rule, shard_params
 
             if mesh_cfg == "auto":
                 self.mesh = make_mesh()
@@ -558,6 +552,51 @@ class TrainEngine:
                     n_data=int(mesh_cfg.get("data", 1)),
                     n_model=int(mesh_cfg.get("model", 1)),
                 )
+        # Sparse path builds pairwise BPR batches against model.row_loss; only
+        # engage when that is actually the configured objective.
+        sparse_req = model_cfg.get("sparse_optim", "auto")
+        sparse_capable = hasattr(model, "row_tables") and kind == "pairwise"
+        if sparse_req == "auto":
+            # Auto-route (SCALING_REPORT "predicted v5e-16 efficiency"): on a
+            # multi-device mesh a dense data-parallel step all-reduces the FULL
+            # table gradient every step; once the row tables pass ~8 MB that
+            # all-reduce alone (2 x bytes / 45 GB/s ICI >= ~0.36 ms) dwarfs an
+            # embedding-model step, so the row-sharded sparse trainer (which
+            # exchanges only touched rows) is the only path that can hold the
+            # >=80% scaling-efficiency north star. Single-device runs keep the
+            # dense path (it is faster below ~8k-row tables; ops/gather.py).
+            table_bytes = 0
+            if sparse_capable:
+                table_bytes = sum(
+                    self.params[t].size * self.params[t].dtype.itemsize
+                    for t in model.row_tables()
+                    if t in self.params
+                )
+            self._sparse_optim = (
+                sparse_capable
+                and self.mesh is not None
+                and self.mesh.size > 1
+                and table_bytes > AUTO_SPARSE_TABLE_BYTES
+            )
+            if self._sparse_optim:
+                print(
+                    f"[auto] routing to the row-sharded sparse trainer "
+                    f"(row tables {table_bytes / 1e6:.1f} MB > "
+                    f"{AUTO_SPARSE_TABLE_BYTES / 1e6:.0f} MB on a "
+                    f"{self.mesh.size}-device mesh; dense all-reduce would "
+                    f"break >=80% scaling efficiency). Set sparse_optim=false "
+                    f"to force the dense path."
+                )
+        else:
+            self._sparse_optim = bool(sparse_req) and sparse_capable
+            if bool(sparse_req) and not self._sparse_optim:
+                print(
+                    "[warn] sparse_optim requested but the model/loss combination "
+                    f"(batch_kind={kind}) has no row protocol; using the dense path"
+                )
+        if self.mesh is not None:
+            from ..parallel.sharding import default_param_rule, shard_params
+
             if not self._sparse_optim:
                 # Sparse runs place tables themselves (padded row shards +
                 # sharded moments) — the generic placement would only cause
