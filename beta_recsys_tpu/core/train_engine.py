@@ -124,6 +124,16 @@ def _padded_order(perm, padded_size):
     return jnp.concatenate([perm] * reps)[:padded_size]
 
 
+
+def _mesh_round_batch(batch_size, mesh):
+    """Round a (clamped) batch size down to a multiple of the data-axis size
+    so batch shards are even (shard_map requires exact divisibility)."""
+    if mesh is None:
+        return batch_size
+    n_data = mesh.shape["data"]
+    return max(batch_size // n_data, 1) * n_data
+
+
 def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, num_neg=1, donate=True, mesh=None, compute_dtype=None):
     """Build a jitted whole-epoch trainer: (params, opt_state, rng) -> updated + mean loss.
 
@@ -146,15 +156,15 @@ def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, 
     ratings = jnp.asarray(train_arrays.ratings)
     n = users.shape[0]
     _check_nonempty(n, "interaction batches")
-    batch_size = min(batch_size, n)
-    if mesh is not None:
-        n_data = mesh.shape["data"]
-        batch_size = max(batch_size // n_data, 1) * n_data
+    batch_size = _mesh_round_batch(min(batch_size, n), mesh)
     num_batches = -(-n // batch_size)
     padded_size = num_batches * batch_size
     kind = model.batch_kind
 
     loss_fn = _loss_with_dtype(model, compute_dtype)
+    grad_fn = _make_grad_fn(
+        loss_fn, mesh, prepare=_pointwise_prepare if kind == "pointwise" else None
+    )
 
     def epoch_fn(params, opt_state, rng):
         rng, perm_key, k_neg, k_epoch = jax.random.split(rng, 4)
@@ -204,15 +214,13 @@ def make_epoch_fn(model, optimizer, train_arrays, batch_size, neg_sampler=None, 
             u, it, neg, r, k_loss = x
             if kind == "pairwise" or kind == "multineg":
                 batch = {"users": u, "pos_items": it, "neg_items": neg}
-            else:  # pointwise
-                u_rep = jnp.broadcast_to(u[:, None], (batch_size, num_neg)).reshape(-1)
-                batch = {
-                    "users": jnp.concatenate([u, u_rep]),
-                    "items": jnp.concatenate([it, neg]),
-                    "labels": jnp.concatenate([r, jnp.zeros_like(neg, dtype=r.dtype)]),
-                }
-            batch = _mesh_shard_batch(batch, mesh)
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch, k_loss)
+            else:  # pointwise — raw fields; the concat happens inside grad_fn
+                # (per data shard): concatenating data-sharded arrays OUTSIDE
+                # the shard_map interleaves shards and costs resharding
+                # all-gathers; the loss is row-order-invariant, so local
+                # concat + pmean is exact.
+                batch = {"u": u, "it": it, "neg": neg, "r": r}
+            loss, grads = grad_fn(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             post = getattr(model, "post_update", None)
@@ -236,6 +244,63 @@ def _mesh_shard_batch(batch, mesh):
     sharding = NamedSharding(mesh, P("data"))
     return {k: jax.lax.with_sharding_constraint(v, sharding) for k, v in batch.items()}
 
+
+def _pointwise_prepare(b):
+    """Expand raw pointwise fields into the model's (users, items, labels)
+    batch. Runs per data shard inside the grad fn — shard-local concat order
+    differs from the global concat, but the loss is row-order-invariant."""
+    u, it, neg, r = b["u"], b["it"], b["neg"], b["r"]
+    nn = neg.shape[0] // u.shape[0]
+    u_rep = jnp.broadcast_to(u[:, None], (u.shape[0], nn)).reshape(-1)
+    return {
+        "users": jnp.concatenate([u, u_rep]),
+        "items": jnp.concatenate([it, neg]),
+        "labels": jnp.concatenate([r, jnp.zeros_like(neg, dtype=r.dtype)]),
+    }
+
+
+def _make_grad_fn(loss_fn, mesh, prepare=None):
+    """(params, batch, key) -> (loss, grads), with explicit SPMD on a mesh.
+
+    Letting XLA's partitioner place the gradient all-reduce moves ~4x the
+    necessary bytes for embedding models: the lookup backward produces several
+    full-shape partial gradients per table and the partitioner all-reduces
+    each partial instead of summing first (measured on ml-100k MF: 2.73 MB vs
+    682 KB of table grads per step; tools/predict_efficiency.py). On a pure
+    data-parallel mesh the gradient is computed inside shard_map, where the
+    partials sum locally and each tensor crosses the ICI exactly once via
+    pmean — the scaling-book recipe of explicit collectives on the hot path.
+
+    Meshes with a >1 "model" axis (row-sharded dense params) keep the
+    partitioner path: their table shards never cross the ICI at all.
+    """
+    if mesh is None or mesh.shape["model"] > 1:
+
+        def grad_fn(params, batch, key):
+            if prepare is not None:
+                batch = prepare(batch)
+            batch = _mesh_shard_batch(batch, mesh)
+            return jax.value_and_grad(loss_fn)(params, batch, key)
+
+        return grad_fn
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local_grad(params, batch, key):
+        if prepare is not None:
+            batch = prepare(batch)
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        return jax.lax.pmean((loss, grads), "data")
+
+    return shard_map(
+        local_grad,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs are replicated by construction (pmean)
+    )
+
 def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler, donate=True, mesh=None, compute_dtype=None):
     """Whole-epoch jitted trainer for sequence models (SASRec family).
 
@@ -250,11 +315,12 @@ def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler
     pos = jnp.asarray(seq_arrays["pos"])
     n = users.shape[0]
     _check_nonempty(n, "sequence batches (users need >= 2 interactions)")
-    batch_size = min(batch_size, n)
+    batch_size = _mesh_round_batch(min(batch_size, n), mesh)
     num_batches = max(n // batch_size, 1)
     maxlen = seq.shape[1]
 
     loss_fn = _loss_with_dtype(model, compute_dtype)
+    grad_fn = _make_grad_fn(loss_fn, mesh)
 
     def epoch_fn(params, opt_state, rng):
         # Row draw + user gather + negative draw hoisted out of the scan (see
@@ -275,8 +341,8 @@ def make_sequence_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sampler
             # Negatives: 0-indexed draw rejected vs user positives, then +1
             # into the 1-indexed item space; pad positions masked in the loss.
             neg = jnp.where(p != 0, neg0 + 1, 0)
-            batch = _mesh_shard_batch({"users": u, "seq": s, "pos": p, "neg": neg}, mesh)
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch, k_loss)
+            batch = {"users": u, "seq": s, "pos": p, "neg": neg}
+            loss, grads = grad_fn(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -293,11 +359,12 @@ def make_prefix_epoch_fn(model, optimizer, arrays, batch_size, donate=True, mesh
     target = jnp.asarray(arrays["target"])
     n = seq.shape[0]
     _check_nonempty(n, "prefix/target examples")
-    batch_size = min(batch_size, n)
+    batch_size = _mesh_round_batch(min(batch_size, n), mesh)
     num_batches = -(-n // batch_size)
     padded_size = num_batches * batch_size
 
     loss_fn = _loss_with_dtype(model, compute_dtype)
+    grad_fn = _make_grad_fn(loss_fn, mesh)
 
     def epoch_fn(params, opt_state, rng):
         rng, perm_key, k_epoch = jax.random.split(rng, 3)
@@ -309,8 +376,8 @@ def make_prefix_epoch_fn(model, optimizer, arrays, batch_size, donate=True, mesh
         def step(carry, x):
             params, opt_state = carry
             batch_order, tgt, k_loss = x
-            batch = _mesh_shard_batch({"seq": seq[batch_order], "target": tgt}, mesh)
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch, k_loss)
+            batch = {"seq": seq[batch_order], "target": tgt}
+            loss, grads = grad_fn(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -329,11 +396,12 @@ def make_sequence_time_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sa
     time_matrix = jnp.asarray(seq_arrays["time_matrix"])
     n = users.shape[0]
     _check_nonempty(n, "sequence batches (users need >= 2 interactions)")
-    batch_size = min(batch_size, n)
+    batch_size = _mesh_round_batch(min(batch_size, n), mesh)
     num_batches = max(n // batch_size, 1)
     maxlen = seq.shape[1]
 
     loss_fn = _loss_with_dtype(model, compute_dtype)
+    grad_fn = _make_grad_fn(loss_fn, mesh)
 
     def epoch_fn(params, opt_state, rng):
         rng, k_row, k_neg, k_epoch = jax.random.split(rng, 4)
@@ -354,8 +422,7 @@ def make_sequence_time_epoch_fn(model, optimizer, seq_arrays, batch_size, neg_sa
                 "neg": neg,
                 "time_matrix": time_matrix[rows],
             }
-            batch = _mesh_shard_batch(batch, mesh)
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch, k_loss)
+            loss, grads = grad_fn(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -378,11 +445,12 @@ def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True, 
     rows_mat = jnp.asarray(user_rows)
     n = rows_mat.shape[0]
     _check_nonempty(n, "user rows")
-    batch_size = min(batch_size, n)
+    batch_size = _mesh_round_batch(min(batch_size, n), mesh)
     num_batches = -(-n // batch_size)
     padded_size = num_batches * batch_size
 
     loss_fn = _loss_with_dtype(model, compute_dtype)
+    grad_fn = _make_grad_fn(loss_fn, mesh)
 
     def epoch_fn(params, opt_state, rng):
         rng, perm_key, k_epoch = jax.random.split(rng, 3)
@@ -393,8 +461,8 @@ def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True, 
         def step(carry, x):
             params, opt_state = carry
             batch_order, k_loss = x
-            batch = _mesh_shard_batch({"rows": rows_mat[batch_order], "users": batch_order}, mesh)
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch, k_loss)
+            batch = {"rows": rows_mat[batch_order], "users": batch_order}
+            loss, grads = grad_fn(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -417,11 +485,12 @@ def make_triple_epoch_fn(model, optimizer, triples, batch_size, n_users, n_items
     t_arr = jnp.asarray(triples["t"]) if "t" in triples else None
     n = users.shape[0]
     _check_nonempty(n, "basket triples")
-    batch_size = min(batch_size, n)
+    batch_size = _mesh_round_batch(min(batch_size, n), mesh)
     num_batches = -(-n // batch_size)
     padded_size = num_batches * batch_size
 
     loss_fn = _loss_with_dtype(model, compute_dtype)
+    grad_fn = _make_grad_fn(loss_fn, mesh)
 
     def epoch_fn(params, opt_state, rng):
         rng, perm_key, k1, k2, k3, k_epoch = jax.random.split(rng, 6)
@@ -453,8 +522,7 @@ def make_triple_epoch_fn(model, optimizer, triples, batch_size, n_users, n_items
             }
             if t is not None:
                 batch["t"] = t
-            batch = _mesh_shard_batch(batch, mesh)
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch, k_loss)
+            loss, grads = grad_fn(params, batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss

@@ -186,3 +186,26 @@ class SyntheticStructured(DatasetBase):
             **self.gen_kwargs,
         )
         self.save_dataframe_as_npz(data, self.interaction_file())
+
+
+def add_synthetic_baskets(df, basket_size=5):
+    """Attach a deterministic order/basket column to an interaction frame.
+
+    Groups each user's interactions (timestamp order) into consecutive
+    baskets of ``basket_size``. Used by the head-to-head harness so basket
+    models (Triple2vec) can run on the structured synthetic split with an
+    identical basket structure on both frameworks.
+    """
+    from ..utils.constants import DEFAULT_ORDER_COL, DEFAULT_TIMESTAMP_COL
+
+    df = df.copy()
+    rank = (
+        df.sort_values(DEFAULT_TIMESTAMP_COL)
+        .groupby(DEFAULT_USER_COL)
+        .cumcount()
+    )
+    df[DEFAULT_ORDER_COL] = (
+        df[DEFAULT_USER_COL].to_numpy(np.int64) * 100_000
+        + (rank.reindex(df.index).to_numpy(np.int64) // basket_size)
+    )
+    return df

@@ -1,0 +1,427 @@
+"""Predicted v5e-16 scaling efficiency: measured compute x HLO comm model.
+
+VERDICT r4 #1 — the last BASELINE.json north star with no number behind it:
+">=80% examples/s scaling efficiency on a v5e-16 slice". No pod is available,
+so the prediction combines the two artifacts the repo already measures:
+
+  t_compute  — real-chip single-device per-STEP time (BENCH_DETAILS.json,
+               measured by bench.py on the v5e via the axon tunnel), at the
+               same per-device batch the multi-chip program runs.
+  t_ici(n)   — per-step ICI time from the compiled HLO's collective
+               instructions at mesh size n (parallel/comm_analysis.py): the
+               partitioned program on the virtual CPU mesh contains the SAME
+               collectives as on real chips, so its bytes are
+               hardware-predictive even though its wall-clock is not.
+
+  eff_unoverlapped(n) = t_compute / (t_compute + t_ici(n))
+  eff_overlapped(n)   = t_compute / max(t_compute, t_ici(n))
+      (XLA overlaps the grad all-reduce with the backward pass; the
+       unoverlapped column is the worst case, overlap the best case.)
+
+Modes:
+  python tools/predict_efficiency.py --comm N      # subprocess: CPU mesh of N
+      devices, print per-config per-step collective bytes as JSON
+  python tools/predict_efficiency.py --measure-extra  # TPU: measure the two
+      per-step compute times not already in BENCH_DETAILS.json
+  python tools/predict_efficiency.py               # synth: spawn --comm for
+      n in {2,4,8,16}, combine with BENCH_DETAILS, write
+      parity_runs/predicted_efficiency.json + a SCALING_REPORT.md section
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, ".")
+
+ICI_LINK_BYTES_PER_S = 45e9  # v5e, per link per direction (scaling-book number)
+COLLECTIVE_LATENCY_S = 5e-6  # per collective call (dispatch + hop latency)
+MESH_SIZES = (2, 4, 8, 16)
+TARGET = 0.80
+
+# config name -> (BENCH_DETAILS entry, batch-per-device, time key)
+COMPUTE_SOURCES = {
+    "mf_ml100k_dense_B400": ("mf_ml100k", 400, "epoch_sec"),
+    "mf_ml100k_dense_B8192": ("mf_ml100k_B8192", 8192, "epoch_sec"),
+    "ncf_ml100k_B400": ("ncf_ml100k", 400, "epoch_sec"),
+    "lightgcn_ml100k_B4096": ("lightgcn_ml100k", 4096, "epoch_sec"),
+    "sasrec_ml100k_B128": ("sasrec_ml100k_maxlen200", 128, "epoch_sec"),
+    "mf_250k_dense_B8192": ("mf_250k_dense_B8192", 8192, "epoch_sec"),
+    "mf_1m_sparse_B8192": ("mf_1m_users_sparse", 8192, "epoch_sec"),
+}
+
+OFFENDER_USERS, OFFENDER_ITEMS, OFFENDER_INTER = 250_000, 25_000, 2_000_000
+
+
+def _ml100k_data():
+    import bench
+
+    return bench._synthetic_ml100k()
+
+
+def _mf_offender_arrays():
+    import numpy as np
+
+    from beta_recsys_tpu.data.base_data import TrainArrays
+
+    rng = np.random.default_rng(0)
+    return TrainArrays(
+        users=rng.integers(0, OFFENDER_USERS, OFFENDER_INTER).astype(np.int32),
+        items=rng.integers(0, OFFENDER_ITEMS, OFFENDER_INTER).astype(np.int32),
+        ratings=np.ones(OFFENDER_INTER, np.float32),
+    )
+
+
+def comm_phase(n):
+    """Per-step collective bytes for every tracked config at mesh size n."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n)
+
+    import numpy as np
+
+    from beta_recsys_tpu.core.train_engine import (
+        make_epoch_fn,
+        make_negative_sampler,
+        make_optimizer,
+        make_sequence_epoch_fn,
+    )
+    from beta_recsys_tpu.models.mf import MF
+    from beta_recsys_tpu.ops.sampling import uniform_negatives
+    from beta_recsys_tpu.parallel.comm_analysis import (
+        collective_bytes,
+        estimate_link_bytes,
+    )
+    from beta_recsys_tpu.parallel.mesh import make_mesh
+
+    data = _ml100k_data()
+    neg_sampler = make_negative_sampler(data, "bitmask")
+    out = {}
+
+    def account(name, fn_builder, model, optimizer, n_axis=n):
+        """Lower+compile with abstract (ShapeDtypeStruct) params: no buffers."""
+        epoch_fn = fn_builder()
+        params = jax.eval_shape(model.init_params, jax.random.key(0))
+        opt_state = jax.eval_shape(optimizer.init, params)
+        counts = collective_bytes(epoch_fn, params, opt_state, jax.random.key(1))
+        link = estimate_link_bytes(counts, n_axis)
+        total = sum(link.values())
+        calls = sum(v["calls"] for v in counts.values())
+        out[name] = {
+            "per_step_collectives": counts,
+            "per_step_link_bytes": total,
+            "collective_calls_per_step": calls,
+        }
+
+    mesh = make_mesh(n_data=n, n_model=1)
+
+    # MF dense at the two tracked batch sizes
+    mf_cfg = {"model": "MF", "emb_dim": 64, "loss": "bpr", "optimizer": "adam",
+              "lr": 0.05, "reg": 0.0}
+    mf = MF(mf_cfg, data.n_users, data.n_items)
+    mf_opt = make_optimizer(mf_cfg)
+    for b in (400, 8192):
+        account(
+            f"mf_ml100k_dense_B{b}",
+            lambda b=b: make_epoch_fn(mf, mf_opt, data.train_arrays(), b * n,
+                                      neg_sampler, donate=False, mesh=mesh),
+            mf, mf_opt,
+        )
+
+    # NCF (pointwise tower)
+    from beta_recsys_tpu.models.ncf import NeuMF
+
+    ncf_cfg = {"model": "NCF", "emb_dim": 8, "mlp_config": {"n_layers": 3},
+               "num_negative": 4, "optimizer": "adam", "lr": 0.001}
+    ncf = NeuMF(ncf_cfg, data.n_users, data.n_items)
+    ncf_opt = make_optimizer(ncf_cfg)
+    account(
+        "ncf_ml100k_B400",
+        lambda: make_epoch_fn(ncf, ncf_opt, data.train_arrays(), 400 * n,
+                              neg_sampler, num_neg=4, donate=False, mesh=mesh),
+        ncf, ncf_opt,
+    )
+
+    # LightGCN (dense propagation over the full graph, replicated)
+    from beta_recsys_tpu.models.lightgcn import LightGCN
+
+    gcn_cfg = {"model": "LightGCN", "emb_dim": 64, "layer_size": [64, 64, 64],
+               "regs": [1e-5], "keep_pro": 1.0, "optimizer": "adam", "lr": 0.05}
+    gcn = LightGCN(gcn_cfg, data.n_users, data.n_items,
+                   artifacts={"adj": data.get_norm_adj("sym")})
+    gcn_opt = make_optimizer(gcn_cfg)
+    account(
+        "lightgcn_ml100k_B4096",
+        lambda: make_epoch_fn(gcn, gcn_opt, data.train_arrays(), 4096 * n,
+                              neg_sampler, donate=False, mesh=mesh),
+        gcn, gcn_opt,
+    )
+
+    # SASRec (sequence path)
+    from beta_recsys_tpu.data.sequential_data import SequentialData
+    from beta_recsys_tpu.models.sasrec import SASRec
+
+    seq_data = SequentialData((data.train, [], []), intersect=False)
+    sas_cfg = {"model": "SASRec", "emb_dim": 64, "maxlen": 200, "num_blocks": 2,
+               "num_heads": 2, "dropout_rate": 0.1, "l2_emb": 0.0,
+               "optimizer": "adam", "lr": 0.001}
+    sas = SASRec(sas_cfg, seq_data.n_users, seq_data.n_items)
+    sas_opt = make_optimizer(sas_cfg)
+    sas_sampler = make_negative_sampler(seq_data, "bitmask")
+    account(
+        "sasrec_ml100k_B128",
+        lambda: make_sequence_epoch_fn(sas, sas_opt,
+                                       seq_data.train_seq_arrays(200), 128 * n,
+                                       sas_sampler, donate=False, mesh=mesh),
+        sas, sas_opt,
+    )
+
+    # The dense offender: 250k x 25k MF without auto-routing — the full-table
+    # all-reduce the sparse trainer exists to avoid.
+    off_arrays = _mf_offender_arrays()
+    off = MF(mf_cfg, OFFENDER_USERS, OFFENDER_ITEMS)
+    off_sampler = lambda key, users, shape: uniform_negatives(key, shape, OFFENDER_ITEMS)
+    account(
+        "mf_250k_dense_B8192",
+        lambda: make_epoch_fn(off, mf_opt, off_arrays, 8192 * n, off_sampler,
+                              donate=False, mesh=mesh),
+        off, mf_opt,
+    )
+
+    # Sharded sparse MF at 1M x 100k (where auto-routing lands large tables).
+    # Concrete sharded params (abstract shapes can't take shard_sparse_params'
+    # padded placement); one sharded copy fits host RAM easily.
+    import optax
+
+    from beta_recsys_tpu.core.sparse_optim import (
+        init_sparse_state,
+        make_sharded_sparse_epoch_fn,
+        shard_sparse_params,
+    )
+    from beta_recsys_tpu.data.base_data import TrainArrays
+
+    rng = np.random.default_rng(0)
+    sp_arrays = TrainArrays(
+        users=rng.integers(0, 1_000_000, 2_000_000).astype(np.int32),
+        items=rng.integers(0, 100_000, 2_000_000).astype(np.int32),
+        ratings=np.ones(2_000_000, np.float32),
+    )
+    n_model = 2 if n >= 4 else 1
+    sp_mesh = make_mesh(n_data=n // n_model, n_model=n_model)
+    sp_model = MF({"model": "MF", "emb_dim": 64, "loss": "bpr", "lr": 0.01,
+                   "optimizer": "adam", "reg": 0.0}, 1_000_000, 100_000)
+    sp_sampler = lambda key, users, shape: uniform_negatives(key, shape, 100_000)
+    table_names = list(sp_model.row_tables())
+    # per-DATA-SHARD batch 8192, matching the single-chip measurement
+    sp_fn = make_sharded_sparse_epoch_fn(
+        sp_model, sp_arrays, 8192 * (n // n_model), sp_sampler, lr=0.01,
+        mesh=sp_mesh, donate=False,
+        grad_exchange="bucketed" if n_model >= 4 else "allgather",
+    )
+    sp_params = shard_sparse_params(
+        sp_model.init_params(jax.random.key(0)), table_names, sp_mesh
+    )
+    sp_state = (
+        init_sparse_state(sp_params, table_names),
+        optax.adam(0.01).init(
+            {k: v for k, v in sp_params.items() if k not in table_names}
+        ),
+    )
+    counts = collective_bytes(sp_fn, sp_params, sp_state, jax.random.key(1))
+    link = estimate_link_bytes(counts, n)
+    out["mf_1m_sparse_B8192"] = {
+        "per_step_collectives": counts,
+        "per_step_link_bytes": sum(link.values()),
+        "collective_calls_per_step": sum(v["calls"] for v in counts.values()),
+        "mesh": f"(data={n // n_model}, model={n_model})",
+    }
+
+    print("COMM_JSON:" + json.dumps(out))
+
+
+def measure_extra():
+    """Real-chip per-step compute for the two entries BENCH_DETAILS lacks."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import bench
+    from beta_recsys_tpu.core.train_engine import (
+        make_epoch_fn,
+        make_negative_sampler,
+        make_optimizer,
+    )
+    from beta_recsys_tpu.models.mf import MF
+    from beta_recsys_tpu.ops.sampling import uniform_negatives
+
+    details = {}
+    data = _ml100k_data()
+    mf_cfg = {"model": "MF", "emb_dim": 64, "batch_size": 8192, "loss": "bpr",
+              "optimizer": "adam", "lr": 0.05, "reg": 0.0}
+    eps, dt = bench.bench_pairwise(data, mf_cfg, MF)
+    details["mf_ml100k_B8192"] = {
+        "examples_per_sec": eps, "epoch_sec": dt,
+        "n_steps": -(-len(data.train) // 8192),
+    }
+    bench._flush(details)
+    print("mf_ml100k_B8192:", json.dumps(details["mf_ml100k_B8192"]))
+
+    # dense offender at 250k x 25k (what auto-routing protects against)
+    arrays = _mf_offender_arrays()
+    model = MF(mf_cfg, OFFENDER_USERS, OFFENDER_ITEMS)
+    optimizer = make_optimizer(mf_cfg)
+    params = model.init_params(jax.random.key(0))
+    opt_state = optimizer.init(params)
+    sampler = lambda key, users, shape: uniform_negatives(key, shape, OFFENDER_ITEMS)
+    epoch_fn = make_epoch_fn(model, optimizer, arrays, 8192, sampler, donate=False)
+    dt = bench._time_epochs(epoch_fn, params, opt_state, jax.random.key(1), n_epochs=2)
+    details["mf_250k_dense_B8192"] = {
+        "examples_per_sec": OFFENDER_INTER / dt, "epoch_sec": dt,
+        "n_steps": -(-OFFENDER_INTER // 8192),
+        "note": "dense Adam + full-table grads at 250k users — the shape the "
+                "auto-router sends to the sparse trainer on any mesh",
+    }
+    bench._flush(details)
+    print("mf_250k_dense_B8192:", json.dumps(details["mf_250k_dense_B8192"]))
+
+
+def _steps_for(config, bench_details):
+    """Single-chip steps/epoch for each measured entry (t_c = epoch/steps)."""
+    entry = bench_details.get(COMPUTE_SOURCES[config][0], {})
+    if "n_steps" in entry:
+        return entry["n_steps"]
+    n_train_ml100k = 98_114  # len(_synthetic_ml100k().train), seed-0 LOO
+    if config == "mf_ml100k_dense_B400":
+        return -(-n_train_ml100k // 400)
+    if config == "ncf_ml100k_B400":
+        return -(-n_train_ml100k // 400)
+    if config == "lightgcn_ml100k_B4096":
+        return -(-n_train_ml100k // 4096)
+    if config == "sasrec_ml100k_B128":
+        return 7  # 943 users // 128
+    if config == "mf_1m_sparse_B8192":
+        return -(-2_000_000 // 8192)
+    raise KeyError(config)
+
+
+def synth():
+    comm = {}
+    for n in MESH_SIZES:
+        print(f"[comm] mesh size {n} ...", flush=True)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--comm", str(n)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("COMM_JSON:")]
+        if not line:
+            print(proc.stdout[-3000:])
+            print(proc.stderr[-3000:])
+            raise RuntimeError(f"comm phase failed at n={n}")
+        comm[n] = json.loads(line[0][len("COMM_JSON:"):])
+
+    with open("BENCH_DETAILS.json") as f:
+        bd = json.load(f)
+
+    report = {}
+    for config, (entry_name, batch, key) in COMPUTE_SOURCES.items():
+        entry = bd.get(entry_name)
+        if not entry:
+            print(f"[skip] no BENCH_DETAILS entry {entry_name} for {config}")
+            continue
+        steps = _steps_for(config, bd)
+        t_c = entry[key] / steps
+        rows = {}
+        for n in MESH_SIZES:
+            c = comm[n].get(config)
+            if not c:
+                continue
+            t_ici = (c["per_step_link_bytes"] / ICI_LINK_BYTES_PER_S
+                     + c["collective_calls_per_step"] * COLLECTIVE_LATENCY_S)
+            rows[n] = {
+                "link_bytes_per_step": c["per_step_link_bytes"],
+                "collective_calls_per_step": c["collective_calls_per_step"],
+                "t_ici_us": round(t_ici * 1e6, 1),
+                "eff_unoverlapped": round(t_c / (t_c + t_ici), 4),
+                "eff_overlapped": round(t_c / max(t_c, t_ici), 4),
+            }
+        report[config] = {
+            "t_compute_per_step_us": round(t_c * 1e6, 1),
+            "batch_per_device": batch,
+            "single_chip_entry": entry_name,
+            "mesh_points": rows,
+        }
+
+    os.makedirs("parity_runs", exist_ok=True)
+    with open("parity_runs/predicted_efficiency.json", "w") as f:
+        json.dump(report, f, indent=2)
+    write_report_section(report)
+    print(json.dumps({c: r["mesh_points"].get(16, {}) for c, r in report.items()},
+                     indent=2))
+
+
+def write_report_section(report):
+    lines = [
+        "## Predicted v5e-16 efficiency (measured compute x HLO comm model)",
+        "",
+        "t_compute = real-chip single-device per-step time (BENCH_DETAILS.json);"
+        " t_ici(n) = HLO per-step collective link bytes / 45 GB/s + 5 us/call"
+        " dispatch latency. eff_unoverlapped = t_c/(t_c+t_ici);"
+        " eff_overlapped = t_c/max(t_c, t_ici) (XLA overlaps the grad"
+        " all-reduce with the backward pass, so the two columns bracket the"
+        " real efficiency). Batch per device is held fixed (weak scaling,"
+        " examples/s efficiency).",
+        "",
+        "| config | t_c/step | n | link KB/step | t_ici | eff (no overlap) |"
+        " eff (overlap) | >=80%? |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for config, r in report.items():
+        t_c = r["t_compute_per_step_us"]
+        for n, row in r["mesh_points"].items():
+            band = (f"{row['eff_unoverlapped']:.2f}", f"{row['eff_overlapped']:.2f}")
+            ok = "PASS" if row["eff_overlapped"] >= TARGET else "FAIL"
+            if row["eff_unoverlapped"] >= TARGET:
+                ok = "PASS"
+            lines.append(
+                f"| {config} (B={r['batch_per_device']}) | {t_c:.0f} us | {n} |"
+                f" {row['link_bytes_per_step'] / 1e3:.1f} |"
+                f" {row['t_ici_us']:.0f} us | {band[0]} | {band[1]} | {ok} |"
+            )
+    lines += [
+        "",
+        "Verdict at n=16 — see the narrative below the table in this section.",
+        "",
+    ]
+    import re
+
+    with open("SCALING_REPORT.md") as f:
+        existing = f.read()
+    header, *sections = re.split(r"\n(?=## )", existing)
+    sections = [s for s in sections
+                if not s.startswith("## Predicted v5e-16 efficiency")]
+    # predicted-efficiency section goes FIRST (it is the headline claim)
+    out = header.rstrip() + "\n\n" + "\n".join(lines).rstrip() + "\n\n" + \
+        "\n".join(s.rstrip() + "\n" for s in sections)
+    with open("SCALING_REPORT.md", "w") as f:
+        f.write(out)
+    print("wrote SCALING_REPORT.md predicted-efficiency section")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--comm", type=int, default=0)
+    parser.add_argument("--measure-extra", action="store_true")
+    args = parser.parse_args()
+    if args.comm:
+        comm_phase(args.comm)
+    elif args.measure_extra:
+        measure_extra()
+    else:
+        synth()
