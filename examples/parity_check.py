@@ -55,6 +55,14 @@ MODEL_SPECS = {
     "LightGCN": dict(config="configs/lightgcn_default.json", overrides={}),
     "SASRec": dict(config="configs/sasrec_default.json",
                    overrides={"lr": 0.001, "maxlen": 100, "l2_emb": 0.0}),
+    # round-5 head-to-head extension (VERDICT r4 #4): six more families with
+    # reference-engine counterparts in examples/reference_head2head.py
+    "GMF": dict(config="configs/gmf_default.json", overrides={}),
+    "MLP": dict(config="configs/mlp_default.json", overrides={}),
+    "NGCF": dict(config="configs/ngcf_default.json", overrides={}),
+    "UltraGCN": dict(config="configs/ultragcn_default.json", overrides={}),
+    "VAECF": dict(config="configs/vaecf_default.json", overrides={}),
+    "Triple2vec": dict(config="configs/triple2vec_default.json", overrides={}),
 }
 
 
@@ -76,7 +84,10 @@ def build_recommender(model_name, config_overrides):
     import beta_recsys_tpu.recommenders as rec
 
     cls = {"MF": rec.MatrixFactorization, "NCF": rec.NeuCF,
-           "LightGCN": rec.LightGCN, "SASRec": rec.SASRec}[model_name]
+           "LightGCN": rec.LightGCN, "SASRec": rec.SASRec,
+           "GMF": rec.GMFRecommender, "MLP": rec.MLPRecommender,
+           "NGCF": rec.NGCF, "UltraGCN": rec.UltraGCN,
+           "VAECF": rec.VAECF, "Triple2vec": rec.Triple2vec}[model_name]
     spec = MODEL_SPECS[model_name]
     overrides = {**spec["overrides"], **config_overrides}
     return cls(load_config(spec["config"], overrides=overrides))
@@ -97,10 +108,19 @@ def load_dataset(dataset_name, n_test, n_negative, root_dir, download=False):
 
 def run_one(model_name, split, seed, n_test, dataset_name, root_dir):
     from beta_recsys_tpu.data.base_data import BaseData
+    from beta_recsys_tpu.data.grocery_data import GroceryData
     from beta_recsys_tpu.data.sequential_data import SequentialData
 
-    data_cls = SequentialData if model_name in ("SASRec",) else BaseData
-    data = data_cls(split)
+    if model_name == "Triple2vec":
+        # deterministic synthetic baskets, shared with the reference runner
+        from beta_recsys_tpu.datasets.synthetic import add_synthetic_baskets
+
+        train, valid, test = split
+        data = GroceryData((add_synthetic_baskets(train), valid, test))
+    elif model_name in ("SASRec",):
+        data = SequentialData(split)
+    else:
+        data = BaseData(split)
     rec = build_recommender(
         model_name,
         {"root_dir": root_dir, "seed": seed, "dataset": dataset_name,

@@ -100,6 +100,13 @@ def _install_reference(reference_root="/root/reference"):
         ray.tune = tune_mod
         sys.modules["ray"] = ray
         sys.modules["ray.tune"] = tune_mod
+    # the reference predates scipy 1.14's removal of the .A property on
+    # sparse matrices (vaecf.py uses u_batch.A / x_u.A); restore it
+    import scipy.sparse as _sp
+
+    for _cls in (_sp.csr_matrix, _sp.csc_matrix, _sp.coo_matrix, _sp.lil_matrix):
+        if not hasattr(_cls, "A"):
+            _cls.A = property(lambda self: self.toarray())
     # the reference predates numpy 1.24's removal of the scalar aliases
     # (beta_rec/utils/alias_table.py uses np.int); restore them in-process
     for alias, typ in [("int", int), ("float", float), ("bool", bool),
@@ -647,7 +654,8 @@ def _run_reference_vaecf_impl(split, seed, run_dir, fixed, max_epoch=60,
     cfg = _base_config(
         {"n_users": data.n_users, "n_items": data.n_items, "emb_dim": 64,
          "batch_size": 128, "optimizer": "adam", "lr": 0.001, "beta": 1.0,
-         "weight_decay": 0.0},
+         "weight_decay": 0.0, "activation": "tanh", "likelihood": "mult",
+         "dropout": 0.0},
         run_dir,
     )
     engine = VAECFEngine(cfg)

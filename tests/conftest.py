@@ -38,6 +38,7 @@ SLOW_MODULES = {
     "test_bucketed_gather",
     "test_ncf_pretrain",
     "test_flash_attention",
+    "test_notebooks",            # nbclient end-to-end execution: ~2 min
 }
 
 SLOW_TESTS = {
