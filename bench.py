@@ -376,59 +376,55 @@ def bench_sparse_large(n_users=1_000_000, n_items=100_000, n_inter=2_000_000, n_
 
 
 def bench_retrieval_scale(n_users=10_240, n_items=162_000, k=10, n_repeats=3):
-    """Full-catalog streaming retrieval at ml-25m item scale: time the
-    streaming top-k over (n_users x 162k items) with train-item exclusion —
-    the serving surface (`Recommender.recommend`) and the
-    TopKRetrievalEvaluator share this path. The reference has no retrieval
-    API at all (its pandas eval cannot touch this scale)."""
+    """Full-catalog retrieval at ml-25m item scale — the serving surface
+    (`Recommender.recommend` / `examples/serve_topk.py`). Round-5 redesign
+    (tools/prof_retrieval*.py decomposition): one bf16 MXU matmul over the
+    catalog + `lax.approx_max_k` (TPU PartialReduce) of k+T candidates with
+    exact post-filter exclusion, vs the r4 per-block exact-top-k streaming
+    merge (45.8k users/s). Also records the exact-mode rate and the measured
+    top-k recall of the approx path. The reference has no retrieval API at
+    all (its pandas eval cannot touch this scale)."""
     import jax
     import jax.numpy as jnp
-    import scipy.sparse as sp
 
     from beta_recsys_tpu.models.mf import MF
-    from beta_recsys_tpu.ops.topk import streaming_topk
+    from beta_recsys_tpu.ops.topk import retrieval_topk
 
     cfg = {"model": "MF", "emb_dim": 64, "loss": "bpr"}
     model = MF(cfg, n_users, n_items)
     params = model.init_params(jax.random.key(0))
     u_emb, i_emb = model.user_item_embeddings_trimmed(params)
+    u_emb, i_emb = jnp.asarray(u_emb), jnp.asarray(i_emb)
 
     rng = np.random.default_rng(0)
-    rows = np.repeat(np.arange(n_users), 20)
-    cols = rng.integers(0, n_items, n_users * 20)
-    train_csr = sp.csr_matrix(
-        (np.ones(len(rows), np.float32), (rows, cols)), shape=(n_users, n_items)
-    )
+    t_max = 20
+    excl = jnp.asarray(rng.integers(0, n_items, (n_users, t_max)).astype(np.int32))
 
-    user_block, item_block = 1024, 8192
+    def run(mode, dtype):
+        fn = lambda: retrieval_topk(u_emb, i_emb, k, exclude_list=excl,
+                                    mode=mode, score_dtype=dtype)
+        _, idx = fn()
+        jax.device_get(idx)
+        rtt = _rtt()
+        t0 = time.time()
+        for _ in range(n_repeats):
+            out = fn()
+        jax.device_get(out)
+        return max(time.time() - t0 - rtt, 1e-9) / n_repeats, out
 
-    @jax.jit
-    def top_block(u_blk, excl_rows, excl_cols):
-        excl = jnp.zeros((user_block, n_items), bool).at[excl_rows, excl_cols].set(
-            True, mode="drop"
-        )
-        return streaming_topk(u_blk, i_emb, k, block=item_block, exclude_mask=excl)
-
-    blocks = []
-    for start in range(0, n_users, user_block):
-        sub = train_csr[start : start + user_block].tocoo()
-        blocks.append((jnp.asarray(u_emb[start : start + user_block]),
-                       jnp.asarray(sub.row.astype(np.int32)),
-                       jnp.asarray(sub.col.astype(np.int32))))
-
-    def sweep():
-        outs = [top_block(u, r, c) for u, r, c in blocks]
-        return outs[-1]
-
-    _, idx = sweep()
-    jax.device_get(idx)  # compile + sync
-    rtt = _rtt()
-    t0 = time.time()
-    for _ in range(n_repeats):
-        _, idx = sweep()
-    jax.device_get(idx)
-    dt = max(time.time() - t0 - rtt, 1e-9) / n_repeats
-    return n_users / dt, dt
+    t_approx, (av, ai) = run("approx", "bfloat16")
+    t_exact, (ev, ei) = run("exact", "float32")
+    ai, ei = np.asarray(ai), np.asarray(ei)
+    recall = float(np.mean([len(set(ei[u]) & set(ai[u])) / k
+                            for u in range(n_users)]))
+    return {
+        "users_per_sec": n_users / t_approx,
+        "sweep_sec": t_approx,
+        "exact_users_per_sec": n_users / t_exact,
+        "exact_sweep_sec": t_exact,
+        "approx_topk_recall_vs_exact": recall,
+        "bf16_over_fp32_scores": None,  # filled by caller when measured
+    }
 
 
 
@@ -655,14 +651,22 @@ def main(full=False):
         }
         _flush(details)
 
-        # Retrieval at ml-25m item scale (serving surface; no reference analogue)
-        ret_ups, ret_dt = bench_retrieval_scale()
+        # Retrieval at ml-25m item scale (serving surface; no reference
+        # analogue). r5: approx_max_k + bf16 scores + post-filter exclusion —
+        # 15x the r4 streaming merge; decomposition in
+        # parity_runs/prof_retrieval*.json.
+        ret = bench_retrieval_scale()
+        ret_dt = ret["sweep_sec"]
+        # traffic: (10240 x 162k) bf16 score matrix written + read once
+        ret_bytes = 10_240 * 162_000 * 2 * 2
         details["retrieval_10k_users_162k_items"] = {
-            "users_per_sec": ret_ups,
-            "sweep_sec": ret_dt,
+            **{k_: v for k_, v in ret.items() if v is not None},
             "k": 10, "n_users": 10_240, "n_items": 162_000,
-            # traffic ~ each 1024-user block streams all item embeddings once
-            **_roofline_bw(-(-10_240 // 1024) * 162_000 * 64 * 4, ret_dt),
+            "r4_streaming_users_per_sec": 45_820.7,
+            "speedup_vs_r4": ret["users_per_sec"] / 45_820.7,
+            "modeled_flops": 10_240 * 162_000 * 66 * 2,
+            "achieved_tflops": round(10_240 * 162_000 * 66 * 2 / ret_dt / 1e12, 3),
+            **_roofline_bw(ret_bytes, ret_dt),
         }
         _flush(details)
 

@@ -137,7 +137,7 @@ class Recommender:
         import jax
         import jax.numpy as jnp
 
-        from ..ops.topk import streaming_topk
+        from ..ops.topk import exclusion_lists, retrieval_topk, streaming_topk
         from ..utils.constants import DEFAULT_PREDICTION_COL
 
         model = self.test_model()
@@ -151,21 +151,39 @@ class Recommender:
                 "items to exclude — pass data= to load(), or exclude_train=False"
             )
         train_csr = self.data.user_item_csr() if exclude_train else None
+        excl_all = exclusion_lists(train_csr) if train_csr is not None else None
+        # post-filter exclusion is exact while k + max_degree candidates fit a
+        # sane reduce width; heavy-degree catalogs fall back to the streaming
+        # mask path
+        use_fast = excl_all is None or excl_all.shape[1] + k <= 256
 
         embs = model.user_item_embeddings_trimmed(params)
         out_users, out_items, out_scores = [], [], []
         for start in range(0, len(users), user_block):
             blk = users[start : start + user_block]
-            mask = None
-            if train_csr is not None:
-                mask = jnp.asarray(np.asarray(train_csr[blk].todense()) > 0)
-            if embs is not None:
+            if embs is not None and use_fast:
+                # fast path (tools/prof_retrieval2.py: 15x the streaming
+                # merge): one bf16 MXU matmul over the catalog + exact top-k
+                # of k+T with per-user post-filter
                 u_emb, i_emb = embs
+                ex = (jnp.asarray(excl_all[blk]) if excl_all is not None
+                      else None)
+                scores, idx = retrieval_topk(
+                    u_emb[jnp.asarray(blk)], jnp.asarray(i_emb), k,
+                    exclude_list=ex, mode="exact", score_dtype="bfloat16",
+                )
+                scores = model.retrieval_score_transform(params, scores)
+            elif embs is not None:
+                u_emb, i_emb = embs
+                mask = jnp.asarray(np.asarray(train_csr[blk].todense()) > 0)
                 scores, idx = streaming_topk(
                     u_emb[jnp.asarray(blk)], i_emb, k, block=item_block, exclude_mask=mask
                 )
                 scores = model.retrieval_score_transform(params, scores)
             else:
+                mask = None
+                if train_csr is not None:
+                    mask = jnp.asarray(np.asarray(train_csr[blk].todense()) > 0)
                 all_scores = model.score_all(params, jnp.asarray(blk))[:, : model.n_items]
                 if mask is not None:
                     all_scores = jnp.where(mask, -jnp.inf, all_scores)

@@ -209,35 +209,49 @@ def comm_phase(n):
         items=rng.integers(0, 100_000, 2_000_000).astype(np.int32),
         ratings=np.ones(2_000_000, np.float32),
     )
-    n_model = 2 if n >= 4 else 1
-    sp_mesh = make_mesh(n_data=n // n_model, n_model=n_model)
     sp_model = MF({"model": "MF", "emb_dim": 64, "loss": "bpr", "lr": 0.01,
                    "optimizer": "adam", "reg": 0.0}, 1_000_000, 100_000)
     sp_sampler = lambda key, users, shape: uniform_negatives(key, shape, 100_000)
     table_names = list(sp_model.row_tables())
-    # per-DATA-SHARD batch 8192, matching the single-chip measurement
-    sp_fn = make_sharded_sparse_epoch_fn(
-        sp_model, sp_arrays, 8192 * (n // n_model), sp_sampler, lr=0.01,
-        mesh=sp_mesh, donate=False,
-        grad_exchange="bucketed" if n_model >= 4 else "allgather",
-    )
-    sp_params = shard_sparse_params(
-        sp_model.init_params(jax.random.key(0)), table_names, sp_mesh
-    )
-    sp_state = (
-        init_sparse_state(sp_params, table_names),
-        optax.adam(0.01).init(
-            {k: v for k, v in sp_params.items() if k not in table_names}
-        ),
-    )
-    counts = collective_bytes(sp_fn, sp_params, sp_state, jax.random.key(1))
-    link = estimate_link_bytes(counts, n)
-    out["mf_1m_sparse_B8192"] = {
-        "per_step_collectives": counts,
-        "per_step_link_bytes": sum(link.values()),
-        "collective_calls_per_step": sum(v["calls"] for v in counts.values()),
-        "mesh": f"(data={n // n_model}, model={n_model})",
-    }
+
+    def sparse_variant(n_model):
+        """Per-step collective bytes for one (data, model) sparse mesh.
+        Per-DATA-SHARD batch 8192, matching the single-chip measurement; the
+        bucketed owner-filtered exchange engages at n_model >= 4 (TrainEngine
+        default)."""
+        sp_mesh = make_mesh(n_data=n // n_model, n_model=n_model)
+        sp_fn = make_sharded_sparse_epoch_fn(
+            sp_model, sp_arrays, 8192 * (n // n_model), sp_sampler, lr=0.01,
+            mesh=sp_mesh, donate=False,
+            grad_exchange="bucketed" if n_model >= 4 else "allgather",
+        )
+        sp_params = shard_sparse_params(
+            sp_model.init_params(jax.random.key(0)), table_names, sp_mesh
+        )
+        sp_state = (
+            init_sparse_state(sp_params, table_names),
+            optax.adam(0.01).init(
+                {k: v for k, v in sp_params.items() if k not in table_names}
+            ),
+        )
+        counts = collective_bytes(sp_fn, sp_params, sp_state, jax.random.key(1))
+        link = estimate_link_bytes(counts, n)
+        return {
+            "per_step_collectives": counts,
+            "per_step_link_bytes": sum(link.values()),
+            "collective_calls_per_step": sum(v["calls"] for v in counts.values()),
+            "mesh": f"(data={n // n_model}, model={n_model})",
+        }
+
+    variants = [sparse_variant(2 if n >= 4 else 1)]
+    if n >= 8:
+        variants.append(sparse_variant(4))  # bucketed exchange regime
+    best = min(variants, key=lambda v: v["per_step_link_bytes"])
+    best["variants_considered"] = [
+        {"mesh": v["mesh"], "per_step_link_bytes": v["per_step_link_bytes"]}
+        for v in variants
+    ]
+    out["mf_1m_sparse_B8192"] = best
 
     print("COMM_JSON:" + json.dumps(out))
 
@@ -386,9 +400,12 @@ def write_report_section(report):
         t_c = r["t_compute_per_step_us"]
         for n, row in r["mesh_points"].items():
             band = (f"{row['eff_unoverlapped']:.2f}", f"{row['eff_overlapped']:.2f}")
-            ok = "PASS" if row["eff_overlapped"] >= TARGET else "FAIL"
             if row["eff_unoverlapped"] >= TARGET:
                 ok = "PASS"
+            elif row["eff_overlapped"] >= TARGET:
+                ok = "overlap-only"
+            else:
+                ok = "FAIL"
             lines.append(
                 f"| {config} (B={r['batch_per_device']}) | {t_c:.0f} us | {n} |"
                 f" {row['link_bytes_per_step'] / 1e3:.1f} |"
@@ -396,7 +413,41 @@ def write_report_section(report):
             )
     lines += [
         "",
-        "Verdict at n=16 — see the narrative below the table in this section.",
+        "PASS = >=0.80 without any compute/comm overlap (the conservative"
+        " bound). Verdict at n=16, per tracked config:",
+        "",
+        "- **MF B=8192/device: 0.96; NCF: 0.83; LightGCN: 0.93; SASRec: 0.99;"
+        " sparse-MF (1M rows, mesh (data=4, model=4), bucketed exchange):"
+        " 0.84 — all five production paths clear the >=80% north star"
+        " un-overlapped.**",
+        "- MF at the notebook toy batch (400/device) is 0.62 un-overlapped /"
+        " 1.00 overlapped: a 54 us step against a 33 us all-reduce. This"
+        " workload (98k examples, 13 ms/epoch on ONE chip) is not a"
+        " parallelizable problem at 16 chips — its all-reduce is already at"
+        " the table-bytes floor (682 KB; the explicit-SPMD rewrite cut it 4x"
+        " from XLA's partial-gradient tuple) and the remaining lever is"
+        " per-device batch, which the B=8192 row shows passing at 0.96 with"
+        " identical comm bytes.",
+        "- mf_250k_dense is the ROUTING CONTROL: dense data-parallel MF with"
+        " 72 MB of tables all-reduces 134 MB/step-link at n=16 -> 0.65."
+        " TrainEngine auto-routes this shape to the row-sharded sparse"
+        " trainer (train_engine.AUTO_SPARSE_TABLE_BYTES), whose 1M-row"
+        " equivalent passes at 0.84; the row exists to show what the router"
+        " protects against.",
+        "- The sparse row's mesh matters: (data=8, model=2) with the exact"
+        " all-gather exchange moves 60.6 MB/step-link (0.70); (data=4,"
+        " model=4) with the owner-filtered bucketed exchange moves 24.3 MB"
+        " (0.84). The tool picks the best variant per n;"
+        " parity_runs/predicted_efficiency.json records both.",
+        "- Caveats: t_ici assumes a single 45 GB/s ICI direction per link"
+        " (2D-torus routing can roughly double effective all-reduce"
+        " bandwidth) and zero overlap; XLA's latency-hiding scheduler"
+        " overlaps collectives with independent compute, so real efficiency"
+        " lands between the two columns. Compute time is the measured"
+        " single-chip step at the same per-device batch; the sparse row"
+        " additionally assumes per-data-shard compute matches the single-chip"
+        " unified path (conservative: row-op work shards over the model"
+        " axis).",
         "",
     ]
     import re
@@ -418,10 +469,16 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--comm", type=int, default=0)
     parser.add_argument("--measure-extra", action="store_true")
+    parser.add_argument("--rewrite", action="store_true",
+                        help="rewrite the report section from the saved JSON")
     args = parser.parse_args()
     if args.comm:
         comm_phase(args.comm)
     elif args.measure_extra:
         measure_extra()
+    elif args.rewrite:
+        with open("parity_runs/predicted_efficiency.json") as f:
+            report = json.load(f)
+        write_report_section(report)
     else:
         synth()
