@@ -331,8 +331,19 @@ def bench_sasrec_production(n_users=50_000, n_items=20_000, per_user=40, n_epoch
     return out, _sasrec_flops(n_seqs, maxlen, emb_dim, 2)
 
 
-def bench_sparse_large(n_users=1_000_000, n_items=100_000, n_inter=2_000_000, n_epochs=1, batch_size=8192, row_update="auto"):
-    """Sparse (lazy-Adam) MF at production scale on synthetic interactions."""
+def _zipf_ids(rng, n_rows, size, a):
+    """Rank-based zipf draw: p(rank r) ~ 1/(r+1)^a (real-data skew)."""
+    w = 1.0 / (np.arange(n_rows) + 1.0) ** a
+    w /= w.sum()
+    return rng.choice(n_rows, size=size, p=w)
+
+
+def bench_sparse_large(n_users=1_000_000, n_items=100_000, n_inter=2_000_000, n_epochs=1, batch_size=8192, row_update="auto", zipf=None):
+    """Sparse (lazy-Adam) MF at production scale on synthetic interactions.
+
+    ``zipf=(a_user, a_item)`` draws power-law ids instead of uniform —
+    real-data skew, where the compact row_update's dedup pays (uniform ids
+    have duplication ~1.06, zipf 1.7-3.6; tools/prof_compact analysis)."""
     import jax
     import optax
 
@@ -345,11 +356,19 @@ def bench_sparse_large(n_users=1_000_000, n_items=100_000, n_inter=2_000_000, n_
     from beta_recsys_tpu.ops.sampling import uniform_negatives
 
     rng = np.random.default_rng(0)
-    arrays = TrainArrays(
-        users=rng.integers(0, n_users, n_inter).astype(np.int32),
-        items=rng.integers(0, n_items, n_inter).astype(np.int32),
-        ratings=np.ones(n_inter, np.float32),
-    )
+    if zipf is not None:
+        a_u, a_i = zipf
+        arrays = TrainArrays(
+            users=_zipf_ids(rng, n_users, n_inter, a_u).astype(np.int32),
+            items=_zipf_ids(rng, n_items, n_inter, a_i).astype(np.int32),
+            ratings=np.ones(n_inter, np.float32),
+        )
+    else:
+        arrays = TrainArrays(
+            users=rng.integers(0, n_users, n_inter).astype(np.int32),
+            items=rng.integers(0, n_items, n_inter).astype(np.int32),
+            ratings=np.ones(n_inter, np.float32),
+        )
     cfg = {"model": "MF", "emb_dim": 64, "loss": "bpr", "lr": 0.01,
            "optimizer": "adam", "reg": 0.0, "batch_size": batch_size}
     model = MF(cfg, n_users, n_items)
@@ -603,6 +622,37 @@ def main(full=False):
             "n_users": 1_000_000, "n_items": 100_000, "emb_dim": 64,
             **_roofline_bw(2_000_000 * 3 * 6 * 256 * 4, sp_dt),
         }
+        _flush(details)
+
+        # Zipf-skewed sweep (r5, VERDICT r4 #2): real datasets are power-law,
+        # where the compact row_update's first-occurrence scatter compaction
+        # cuts the dominant per-index scatter cost by the duplication factor
+        # (1.77x at B=8192, 3.6x at B=131072 — measured id stats). Uniform
+        # ids (the entry above) have duplication 1.06, which is why the r4
+        # batch sweep was flat.
+        zsweep = {}
+        for ru, bsz in (("unified", 8192), ("compact", 8192),
+                        ("unified", 131072), ("compact", 131072)):
+            try:
+                eps, dts = bench_sparse_large(batch_size=bsz, row_update=ru,
+                                              zipf=(1.1, 1.05))
+                zsweep[f"{ru}_B{bsz}"] = {"examples_per_sec": eps, "epoch_sec": dts}
+            except Exception as e:
+                zsweep[f"{ru}_B{bsz}"] = {"error": repr(e)}
+            details["mf_1m_users_sparse_zipf"] = dict(zsweep)
+            _flush(details)
+        if "examples_per_sec" in zsweep.get("compact_B8192", {}):
+            zsweep["compact_speedup_B8192"] = (
+                zsweep["compact_B8192"]["examples_per_sec"]
+                / zsweep["unified_B8192"]["examples_per_sec"])
+            zsweep["compact_speedup_B131072"] = (
+                zsweep["compact_B131072"]["examples_per_sec"]
+                / zsweep["unified_B131072"]["examples_per_sec"])
+            zsweep["best_vs_unified_B8192"] = (
+                max(v["examples_per_sec"] for v in zsweep.values()
+                    if isinstance(v, dict) and "examples_per_sec" in v)
+                / zsweep["unified_B8192"]["examples_per_sec"])
+        details["mf_1m_users_sparse_zipf"] = zsweep
         _flush(details)
 
         # Batch-size x storage-dtype sweep (VERDICT r3 #3/#4). Measured

@@ -103,7 +103,7 @@ def _role_layout(model, params_shape):
     return roles
 
 
-def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense_optimizer=None, donate=True, compute_dtype=None, row_update="auto"):
+def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense_optimizer=None, donate=True, compute_dtype=None, row_update="auto", compact_capacity=None):
     """Whole-epoch trainer with lazy-Adam row updates for embedding tables.
 
     The model must provide:
@@ -128,6 +128,23 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
         Lazy "touched" masks stay exactly per-table (role-aware column
         masks), so the trajectory matches "xla" bit-for-bit up to float
         reassociation.
+      "compact" — the unified layout + FIRST-OCCURRENCE COMPACTION of the
+        scatter (r5, VERDICT r4 #2): the r4 roofline work pinned XLA's
+        scatter at ~83 ns per INDEX regardless of row content, and the
+        unified scatter passes all L = 3B indices even though duplicate ids
+        carry zeroed rows after the segment dedup. On zipf-distributed data
+        (every real dataset) the duplication factor is 1.7–3.6x
+        (tools/prof_compact.py), so compacting the deduped first-occurrence
+        rows to the front (one stable argsort of the existing `first` mask)
+        and scattering only a fixed capacity C of them cuts the dominant
+        row-op count by that factor. C defaults to a host-side estimate of
+        the batch's unique-id count x1.25 (from the actual train id
+        distribution) rounded to 8; unique ids beyond C in a step lose that
+        step's gradient and are COUNTED in opt_state["dropped"] (same
+        surfaced-overflow contract as the bucketed exchange; capacity
+        C >= L makes it bit-identical to "unified"). Uniform-id data has
+        duplication ~1.06 — there "compact" is a no-op by construction,
+        which is why the r4 batch sweep (uniform ids) measured flat.
       "fused" — the Pallas fused_rowadam kernel (ops/pallas/rowadam.py):
         pipelined row DMAs, in-place. A/B on the real v5e: latency-bound at
         N_SLOTS outstanding row DMAs and 1.5x SLOWER end-to-end than "xla" —
@@ -168,6 +185,33 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
     dense_optimizer = dense_optimizer or optax.adam(lr)
     if row_update == "auto":
         row_update = "unified" if jax.default_backend() == "tpu" else "xla"
+    compact = row_update == "compact"
+    if compact:
+        row_update = "unified"
+        if compact_capacity is None:
+            # host-side estimate of unique ids per step from the actual train
+            # id distribution (uniform stand-in for rejection negatives is
+            # fine at x1.25 safety)
+            import numpy as _np
+
+            _rng = _np.random.default_rng(0)
+            _u = _np.asarray(train_arrays.users)
+            _it = _np.asarray(train_arrays.items)
+            _n = len(_u)
+            _n_items = int(_it.max()) + 1 if len(_it) else 1
+            fracs = []
+            for _ in range(4):
+                _sel = _rng.integers(0, _n, batch_size)
+                _ids = _np.concatenate([
+                    _u[_sel].astype(_np.int64),
+                    _it[_sel].astype(_np.int64) + (1 << 32),
+                    _rng.integers(0, _n_items, batch_size) + (1 << 32),
+                ])
+                fracs.append(len(_np.unique(_ids)) / len(_ids))
+            est = max(fracs) * 1.25
+            compact_capacity = min(
+                -(-int(3 * batch_size * est) // 8) * 8, 3 * batch_size
+            )
 
     params_shape = jax.eval_shape(model.init_params, jax.random.key(0))
     roles = _role_layout(model, params_shape)
@@ -456,18 +500,33 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
                     [mask * delta, mask * (m_new - m_r), mask * (v_new - v_r)],
                     axis=1,
                 )  # (L, 3*w_max)
-                # NOT indices_are_sorted=True: profiled 5x SLOWER at B=8192
-                # on v5e (tools/prof_scatter_rows.py) — XLA picks a worse
-                # lowering for the sorted hint at this shape.
-                uarr = uarr.at[ids_s].add(upd)  # ONE scatter-add
+                dropped_inc = jnp.zeros((), jnp.int32)
+                if compact and compact_capacity < L:
+                    # first-occurrence rows to the front (stable: keeps
+                    # sorted-id order); duplicates carry zero rows, so
+                    # scattering only the first C entries loses nothing
+                    # until unique_count > C — those drops are counted.
+                    order3 = jnp.argsort(~first, stable=True)
+                    sel = order3[:compact_capacity]
+                    n_unique = jnp.sum(first).astype(jnp.int32)
+                    dropped_inc = jnp.maximum(
+                        n_unique - jnp.int32(compact_capacity), 0
+                    )
+                    # NOT indices_are_sorted: profiled 5x slower on v5e.
+                    uarr = uarr.at[ids_s[sel]].add(upd[sel])
+                else:
+                    # NOT indices_are_sorted=True: profiled 5x SLOWER at
+                    # B=8192 on v5e (tools/prof_scatter_rows.py) — XLA picks
+                    # a worse lowering for the sorted hint at this shape.
+                    uarr = uarr.at[ids_s].add(upd)  # ONE scatter-add
 
                 updates, dense_state = dense_optimizer.update(
                     g_dense, dense_state, dense_params
                 )
                 dense_params = optax.apply_updates(dense_params, updates)
-                return (uarr, dense_params, new_step, dense_state), loss
+                return (uarr, dense_params, new_step, dense_state), (loss, dropped_inc)
 
-            (uarr, dense_params, step_i, dense_state), losses = jax.lax.scan(
+            (uarr, dense_params, step_i, dense_state), (losses, drops) = jax.lax.scan(
                 ustep, (u0, dense_params0, sparse_state["step"], dense_state), xs
             )
             params_out, moments_out = _unpack_unified(uarr)
@@ -475,7 +534,8 @@ def make_sparse_epoch_fn(model, train_arrays, batch_size, neg_sampler, lr, dense
             return (
                 params_out,
                 ({"moments": moments_out, "step": step_i,
-                  "dropped": sparse_state.get("dropped", jnp.zeros((), jnp.int32))},
+                  "dropped": sparse_state.get("dropped", jnp.zeros((), jnp.int32))
+                  + jnp.sum(drops)},
                  dense_state),
                 rng,
                 jnp.mean(losses),

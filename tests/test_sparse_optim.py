@@ -201,3 +201,73 @@ def test_unified_bf16_trajectory_and_quality():
     params, _, _ = run("unified_bf16", 25)
     ev = RankingEvaluator(model, data.eval_candidates(data.valid[0]), ("ndcg",), (10,))
     assert ev.evaluate(params)["ndcg@10"] > 0.35
+
+
+def test_compact_matches_unified_when_capacity_suffices():
+    """row_update="compact" with enough capacity is the unified trajectory
+    exactly (extra scatter indices carry zero rows), and dropped == 0."""
+    import optax
+
+    from beta_recsys_tpu.data.base_data import BaseData
+    from beta_recsys_tpu.datasets.data_split import leave_one_out
+    from beta_recsys_tpu.utils.constants import DEFAULT_FLAG_COL
+    from tests.test_train_mf import make_structured_interactions
+
+    df = make_structured_interactions(n_users=40, n_items=32, per_user=6)
+    flagged = leave_one_out(df.copy())
+    train = flagged[flagged[DEFAULT_FLAG_COL] == "train"].copy()
+    data = BaseData((train, [], []), intersect=False)
+    cfg = {"model": "MF", "emb_dim": 16, "loss": "bpr", "lr": 0.05, "reg": 0.0}
+    model = MF(cfg, data.n_users, data.n_items)
+    arrays = data.train_arrays()
+    neg_sampler = lambda key, users, shape: uniform_negatives(key, shape, data.n_items)
+
+    def run(row_update, **kw):
+        params = model.init_params(jax.random.key(0))
+        fn = make_sparse_epoch_fn(
+            model, arrays, 64, neg_sampler, lr=0.05, donate=False,
+            row_update=row_update, **kw,
+        )
+        state = (init_sparse_state(params, list(model.row_tables())),
+                 optax.adam(0.05).init({"global_bias": params["global_bias"]}))
+        rng = jax.random.key(3)
+        for _ in range(2):
+            params, state, rng, loss = fn(params, state, rng)
+        return params, state, float(loss)
+
+    p_u, s_u, l_u = run("unified")
+    # auto capacity (estimated from the id distribution)
+    p_c, s_c, l_c = run("compact")
+    assert l_c == pytest.approx(l_u, rel=1e-6)
+    assert int(s_c[0]["dropped"]) == 0
+    for k in p_u:
+        np.testing.assert_allclose(
+            np.asarray(p_c[k]), np.asarray(p_u[k]), rtol=1e-6, atol=1e-8, err_msg=k
+        )
+
+
+def test_compact_overflow_is_counted():
+    """A deliberately tiny capacity must drop gradient AND count it."""
+    import optax
+
+    from beta_recsys_tpu.data.base_data import TrainArrays
+
+    rng_np = np.random.default_rng(0)
+    n_u, n_i, n = 200, 100, 512
+    arrays = TrainArrays(
+        users=rng_np.integers(0, n_u, n).astype(np.int32),
+        items=rng_np.integers(0, n_i, n).astype(np.int32),
+        ratings=np.ones(n, np.float32),
+    )
+    cfg = {"model": "MF", "emb_dim": 8, "loss": "bpr", "lr": 0.05, "reg": 0.0}
+    model = MF(cfg, n_u, n_i)
+    neg_sampler = lambda key, users, shape: uniform_negatives(key, shape, n_i)
+    params = model.init_params(jax.random.key(0))
+    fn = make_sparse_epoch_fn(
+        model, arrays, 128, neg_sampler, lr=0.05, donate=False,
+        row_update="compact", compact_capacity=16,
+    )
+    state = (init_sparse_state(params, list(model.row_tables())),
+             optax.adam(0.05).init({"global_bias": params["global_bias"]}))
+    params, state, _, _ = fn(params, state, jax.random.key(1))
+    assert int(state[0]["dropped"]) > 0
