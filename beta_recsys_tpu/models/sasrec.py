@@ -84,8 +84,13 @@ class SASRec(RecModel):
             )
         return params
 
-    def log2feats(self, params, log_seqs, rng=None):
-        """Encode (B, T) item id sequences -> (B, T, D) features."""
+    def log2feats(self, params, log_seqs, rng=None, seq_emb_raw=None):
+        """Encode (B, T) item id sequences -> (B, T, D) features.
+
+        ``seq_emb_raw`` (optional) skips the internal item-table lookup and
+        uses pre-gathered unscaled rows — the loss shares ONE gather between
+        the input sequence and its shifted next-item targets.
+        """
         if self.compute_dtype != jnp.float32:
             params = jax.tree_util.tree_map(
                 lambda x: x.astype(self.compute_dtype)
@@ -94,7 +99,9 @@ class SASRec(RecModel):
                 params,
             )
         d = self.emb_dim
-        seqs = table_lookup(params["item_emb"], log_seqs) * jnp.sqrt(d).astype(self.compute_dtype)
+        raw = (seq_emb_raw.astype(self.compute_dtype) if seq_emb_raw is not None
+               else table_lookup(params["item_emb"], log_seqs))
+        seqs = raw * jnp.sqrt(d).astype(self.compute_dtype)
         T = log_seqs.shape[1]
         seqs = seqs + params["pos_emb"][None, self.maxlen - T :, :]
         if rng is not None and self.dropout_rate > 0:
@@ -123,10 +130,21 @@ class SASRec(RecModel):
         return layer_norm(seqs, params["last_ln"]["scale"], params["last_ln"]["bias"])
 
     def loss(self, params, batch, rng):
-        """Masked BCE-with-logits over (pos, neg) at every sequence position."""
+        """Masked BCE-with-logits over (pos, neg) at every sequence position.
+
+        ``pos`` is ``seq`` shifted by one (data/sequential_data.py builds
+        tgt = items[1:] against inp = items[:-1]), so ONE gather of the
+        (B, T+1) extended sequence serves both the encoder input and the
+        positive targets — a 1/3 cut of the lookup rows the r5 ablation
+        found dominating the step (tools/prof_sasrec_ablation.py: 40.8%).
+        The only positions where ext[:, 1:] differs from ``pos`` are pad
+        slots (pos == 0), which the loss mask zeroes either way.
+        """
         seq, pos, neg = batch["seq"], batch["pos"], batch["neg"]
-        feats = self.log2feats(params, seq, rng=rng)
-        pos_emb = table_lookup(params["item_emb"], pos)
+        ext = jnp.concatenate([seq, pos[:, -1:]], axis=1)
+        ext_emb = table_lookup(params["item_emb"], ext)
+        feats = self.log2feats(params, seq, rng=rng, seq_emb_raw=ext_emb[:, :-1])
+        pos_emb = jnp.where((pos != 0)[..., None], ext_emb[:, 1:], 0.0)
         neg_emb = table_lookup(params["item_emb"], neg)
         pos_logits = jnp.sum(feats * pos_emb, axis=-1)
         neg_logits = jnp.sum(feats * neg_emb, axis=-1)

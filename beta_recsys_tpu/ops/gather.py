@@ -68,13 +68,77 @@ def _mxu_lookup(table, ids):
 MXU_LOOKUP_MAX_ONEHOT_BYTES = 1 << 29  # 512 MB
 
 
-def table_lookup(table, ids, max_mxu_rows=MXU_LOOKUP_MAX_ROWS):
-    """``table[ids]`` with a scatter-free (one-hot matmul) VJP for small tables.
+# the compact (sort + segment-sum) backward is OPT-IN: measured on the
+# SASRec production shape (102k lookups into a 20k-row table, dup ~5x) the
+# two 100k-element argsorts cost MORE than the scatter rows they save
+# (2.39 s/epoch vs 2.04 s; tools/prof_sasrec_ablation.py follow-up) — the
+# native gather-VJP scatter does not run at the isolated 83 ns/row floor in
+# this fused context. Set a finite threshold to enable where a workload
+# proves it pays.
+COMPACT_LOOKUP_MIN_DUP = None  # None = disabled (opt-in)
 
-    Identical values either way; gradients agree up to float reassociation
-    (matmul accumulation order vs scatter order). Large tables — or huge
-    batches whose (B, N) one-hot would not fit sanely — fall through to the
-    native gather/scatter pair.
+
+@functools.lru_cache(maxsize=None)
+def _compact_lookup_for(shape, dtype_name):
+    """custom_vjp lookup whose backward scatters AT MOST n_rows indices.
+
+    XLA's native gather-VJP scatter costs ~83 ns per INDEX on v5e regardless
+    of duplicates (r4 measurement). When a batch looks up far more ids than
+    the table has rows (SASRec: 3 x B x T = 307k lookups into a 20k-row item
+    table), almost every scatter index is a duplicate. This backward sorts
+    the flat ids once, segment-sums duplicate cotangents, and scatter-adds
+    only the <= n_rows unique rows — EXACT (capacity = table height can
+    never overflow), identical to the native gradient up to float
+    reassociation. MEASURED NEGATIVE on its target shape (see
+    COMPACT_LOOKUP_MIN_DUP): kept as a tested opt-in for workloads with far
+    higher duplication.
+    """
+    n_rows = shape[0]
+    feat = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+
+    @jax.custom_vjp
+    def lookup(table, ids):
+        return table[ids]
+
+    def fwd(table, ids):
+        return table[ids], ids
+
+    def bwd(ids, g):
+        flat_ids = ids.reshape(-1)
+        gf = g.reshape(-1, feat)
+        order = jnp.argsort(flat_ids)
+        ids_s = flat_ids[order]
+        g_s = gf[order]
+        first = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
+        segid = jnp.cumsum(first) - 1  # 0..n_unique-1
+        summed = jax.ops.segment_sum(g_s, segid, num_segments=n_rows)
+        # row index of each segment; empty segments get an out-of-range
+        # marker so their (zero) rows drop in the scatter
+        seg_rows = jnp.full((n_rows,), n_rows, ids_s.dtype).at[segid].set(
+            ids_s, mode="drop"
+        )
+        g_table = (
+            jnp.zeros((n_rows, feat), summed.dtype)
+            .at[seg_rows]
+            .add(summed, mode="drop")
+        )
+        g_table = g_table[:, 0] if len(shape) == 1 else g_table.reshape(shape)
+        return (g_table.astype(dtype_name),
+                np.zeros(ids.shape, dtype=jax.dtypes.float0))
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
+def table_lookup(table, ids, max_mxu_rows=MXU_LOOKUP_MAX_ROWS):
+    """``table[ids]`` with a backward that dodges the v5e scatter floor.
+
+    Three regimes (identical forward values; gradients agree up to float
+    reassociation):
+      - small tables: one-hot-matmul VJP (scatter-free; module docstring);
+      - tall tables looked up >= COMPACT_LOOKUP_MIN_DUP x their height:
+        compact sort/segment-sum VJP (scatter <= n_rows indices — exact);
+      - otherwise: the native gather/scatter pair.
     """
     n_ids = 1
     for d in ids.shape:
@@ -82,6 +146,9 @@ def table_lookup(table, ids, max_mxu_rows=MXU_LOOKUP_MAX_ROWS):
     onehot_bytes = n_ids * int(table.shape[0]) * 4
     if table.shape[0] <= max_mxu_rows and onehot_bytes <= MXU_LOOKUP_MAX_ONEHOT_BYTES:
         return _mxu_lookup(table, ids)
+    if (COMPACT_LOOKUP_MIN_DUP is not None
+            and n_ids >= COMPACT_LOOKUP_MIN_DUP * int(table.shape[0])):
+        return _compact_lookup_for(tuple(table.shape), str(table.dtype))(table, ids)
     return table[ids]
 
 

@@ -280,6 +280,31 @@ def write_report(path, synth_results, real_results, n_negative, seeds, meta):
         ctrl = fixed.get("long_control")
         if ctrl:
             lines += [f"Long-budget control: {ctrl['description']}", ""]
+    tuned = (h2h or {}).get("results", {}).get("LightGCN_tuned")
+    if tuned:
+        tm, ts = tuned["aggregate"].get("ndcg@10", (None, None))
+        ours_gcn = synth_results.get("LightGCN", {}).get("ndcg@10", (None, None))[0]
+        lines += [
+            f"**Reference-corrected LightGCN** (their engine verbatim at the "
+            f"best lr from their own tunable list — the shipped lr=0.05 peaks "
+            f"at epoch ~0): ndcg@10 {tm:.4f} ± {ts:.4f}, best epochs "
+            f"{tuned.get('best_epochs')}"
+            + (f" vs ours {ours_gcn:.4f}" if ours_gcn else "") + ".",
+            "",
+        ]
+    vfixed = (h2h or {}).get("results", {}).get("VAECF_fixed")
+    if vfixed:
+        vm, vs = vfixed["aggregate"].get("ndcg@10", (None, None))
+        ours_vae = synth_results.get("VAECF", {}).get("ndcg@10", (None, None))[0]
+        lines += [
+            f"**Reference-corrected VAECF** (their model verbatim; only the "
+            f"predict indexing defect fixed — the shipped predict flattens "
+            f"the decoded matrix and indexes with item ids alone, reading "
+            f"every user's scores from user 0's row): ndcg@10 "
+            f"{vm:.4f} ± {vs:.4f}"
+            + (f" vs ours {ours_vae:.4f}" if ours_vae else "") + ".",
+            "",
+        ]
     if h2h:
         lines += [
             "Reference quirks surface honestly in its column: its SASRec "
@@ -358,6 +383,25 @@ def main():
     meta = {"device": str(jax.devices()[0].platform), "curves": {}, "timing": []}
     synth_results, real_results = {}, {}
 
+    # persist our-side synthetic results so per-model invocations accumulate
+    # (mirrors REFERENCE_H2H.json's merge behavior)
+    ours_path = os.path.join(args.root_dir, "ours_synth.json")
+    if os.path.exists(ours_path):
+        try:
+            with open(ours_path) as f:
+                prior = json.load(f)
+            synth_results.update({k: {m: tuple(v) for m, v in agg.items()}
+                                  for k, agg in prior.get("results", {}).items()})
+            meta["curves"].update(prior.get("curves", {}))
+            meta["timing"].extend(prior.get("timing", []))
+        except Exception:
+            pass
+
+    def _persist_ours():
+        with open(ours_path, "w") as f:
+            json.dump({"results": synth_results, "curves": meta["curves"],
+                       "timing": meta["timing"]}, f, indent=1)
+
     if not args.real_only:
         split = load_dataset("synthetic_structured", args.n_test, args.n_negative,
                              args.root_dir)
@@ -368,11 +412,15 @@ def main():
                             "synthetic_structured", args.root_dir)
                 runs.append(r)
                 print(f"[synthetic] {model} seed={seed}: "
-                      f"{json.dumps(r['test'])} ({r['train_sec']:.1f}s)")
+                      f"{json.dumps(r['test'])} ({r['train_sec']:.1f}s)", flush=True)
             synth_results[model] = aggregate(runs)
             meta["curves"][model] = runs[0]["curve"]
+            meta["timing"] = [t for t in meta["timing"]
+                              if not (t["model"] == model
+                                      and t["dataset"] == "synthetic_structured")]
             meta["timing"].append({"model": model, "dataset": "synthetic_structured",
                                    "train_sec": float(np.mean([r["train_sec"] for r in runs]))})
+            _persist_ours()
 
     if args.real or args.real_only:
         real_n_test = max(args.n_test, 10)  # reference notebooks use 10 copies

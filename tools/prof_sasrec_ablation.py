@@ -67,6 +67,9 @@ def main():
         except Exception as e:
             results[label] = {"error": repr(e)[:200]}
         print(label, json.dumps(results[label]), flush=True)
+        with open("parity_runs/prof_sasrec_ablation.json", "w") as f:
+            json.dump(results, f, indent=2)  # flush per variant: timeouts
+            # must not lose finished measurements
 
     record("full")
     record("no_attention",
