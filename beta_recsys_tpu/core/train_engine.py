@@ -473,11 +473,17 @@ def make_userrow_epoch_fn(model, optimizer, user_rows, batch_size, donate=True, 
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
-def make_triple_epoch_fn(model, optimizer, triples, batch_size, n_users, n_items, n_neg, donate=True, mesh=None, compute_dtype=None):
+def make_triple_epoch_fn(model, optimizer, triples, batch_size, n_users, n_items, n_neg, donate=True, mesh=None, compute_dtype=None, user_alias=None, item_alias=None):
     """Whole-epoch trainer over (user, item_i, item_j[, t]) basket triples.
 
-    Negative users/items are drawn uniformly on device each step (the reference
-    draws from popularity samplers per batch, recommenders/triple2vec.py).
+    ``user_alias``/``item_alias`` — (prob_arr, alias_arr) pairs — draw
+    popularity-weighted negatives on device (ops.sampling.alias_negatives),
+    matching the reference's per-batch AliasTable draws
+    (models/triple2vec.py:124-170); without them negatives are uniform.
+    Measured r5 (structured split): item-weighted negatives lift Triple2vec
+    ndcg@10 0.2322 -> 0.2592 (reference parity); weighting users AND items
+    together collapses training (0.046) — TrainEngine weights items only by
+    default.
     """
     users = jnp.asarray(triples["users"])
     item1 = jnp.asarray(triples["item1"])
@@ -497,15 +503,27 @@ def make_triple_epoch_fn(model, optimizer, triples, batch_size, n_users, n_items
         order = _padded_order(jax.random.permutation(perm_key, n), padded_size)
         order = order.reshape(num_batches, batch_size)
         neg_shape = (num_batches, batch_size, n_neg)
+        from ..ops.sampling import alias_negatives
+
+        draw_u = (
+            (lambda k: alias_negatives(k, neg_shape, *user_alias))
+            if user_alias is not None
+            else (lambda k: jax.random.randint(k, neg_shape, 0, n_users, dtype=jnp.int32))
+        )
+        draw_i = (
+            (lambda k: alias_negatives(k, neg_shape, *item_alias))
+            if item_alias is not None
+            else (lambda k: jax.random.randint(k, neg_shape, 0, n_items, dtype=jnp.int32))
+        )
         xs = (
             order,
             users[order],
             item1[order],
             item2[order],
             t_arr[order] if t_arr is not None else None,
-            jax.random.randint(k1, neg_shape, 0, n_users, dtype=jnp.int32),
-            jax.random.randint(k2, neg_shape, 0, n_items, dtype=jnp.int32),
-            jax.random.randint(k3, neg_shape, 0, n_items, dtype=jnp.int32),
+            draw_u(k1),
+            draw_i(k2),
+            draw_i(k3),
             jax.random.split(k_epoch, num_batches),
         )
 
@@ -784,10 +802,28 @@ class TrainEngine:
                 compute_dtype=compute_dtype,
             )
         elif kind == "triple":
+            from ..utils.alias_table import AliasTable
+            from ..utils.constants import DEFAULT_ITEM_COL, DEFAULT_USER_COL
+
             triples = data.sample_triples(
                 int(model_cfg.get("n_sample", 100_000)),
                 time_step=int(model_cfg.get("time_step", 0)),
             )
+            # popularity sampler over contiguous ids (reference draws
+            # negatives from train-frequency AliasTables). r5 bisect on the
+            # structured split (3 variants, seed 0): item-weighted negatives
+            # lift ndcg@10 0.2322 -> 0.2592 (matching the reference's
+            # 0.2608); user-weighted alone is neutral (0.2293); weighting
+            # BOTH collapses training to 0.046 — so items are weighted by
+            # default and user weighting is opt-in (user_neg_weighted).
+            def _alias_pair(col, size):
+                freq = np.bincount(
+                    data.train[col].to_numpy(), minlength=size
+                ).astype(np.float64)
+                at = AliasTable(list(freq))
+                return (jnp.asarray(at.prob_arr, jnp.float32),
+                        jnp.asarray(at.alias_arr, jnp.int32))
+
             self.epoch_fn = make_triple_epoch_fn(
                 model,
                 self.optimizer,
@@ -798,6 +834,10 @@ class TrainEngine:
                 int(model_cfg.get("n_neg", 5)),
                 mesh=self.mesh,
                 compute_dtype=compute_dtype,
+                user_alias=(_alias_pair(DEFAULT_USER_COL, data.n_users)
+                            if model_cfg.get("user_neg_weighted", False)
+                            else None),
+                item_alias=_alias_pair(DEFAULT_ITEM_COL, data.n_items),
             )
         else:
             self.epoch_fn = make_epoch_fn(

@@ -61,6 +61,17 @@ class BaseData:
             self.valid = [self.valid]
         if isinstance(self.test, pd.DataFrame):
             self.test = [self.test]
+        # COPY the input frames: _re_index/_binarize write in place, and a
+        # caller reusing one split across several runs (parity_check's seed
+        # loop) must not see run N's id mapping applied to run N+1's frames.
+        # (Found r5: Triple2vec's basket path copies only train, so shared
+        # valid/test frames got re-mapped while train kept raw ids —
+        # misaligned eval collapsed every run after the first. The reference
+        # mutates in place, beta_rec/data/base_data.py:44-75 — a quirk, not
+        # a contract.)
+        self.train = self.train.copy()
+        self.valid = [df.copy() for df in self.valid]
+        self.test = [df.copy() for df in self.test]
 
         self.user_pool = self.train[DEFAULT_USER_COL].unique()
         self.item_pool = self.train[DEFAULT_ITEM_COL].unique()

@@ -49,7 +49,15 @@ class Triple2vec(RecModel):
 
         def skipgram(center_emb, context, center_bias, neg_emb, neg_bias):
             pos = jax.nn.log_sigmoid(jnp.sum(center_emb * context, axis=-1) + center_bias)
-            neg_dots = jnp.einsum("bnd,bd->bn", neg_emb, center_emb) + neg_bias
+            # HIGHEST precision: the TPU MXU's default bf16 operand passes
+            # round the +-1e-4-magnitude dots of the +-0.01-init embeddings
+            # hard enough to destabilize training with popularity-weighted
+            # negatives (r5: seed-dependent collapse on TPU only; CPU fp32
+            # was stable at the same seeds/lr)
+            neg_dots = jnp.einsum(
+                "bnd,bd->bn", neg_emb, center_emb,
+                precision=jax.lax.Precision.HIGHEST,
+            ) + neg_bias
             neg = jax.nn.log_sigmoid(-neg_dots)
             return -(jnp.sum(pos) + jnp.sum(neg))
 

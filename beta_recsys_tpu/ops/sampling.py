@@ -118,3 +118,21 @@ def sample_negatives_rejection_bitmask(rng, users, shape, n_items, pos_mask, n_r
     init = jax.random.randint(sub, shape, 0, n_items, dtype=jnp.int32)
     _, items = jax.lax.fori_loop(0, n_rounds, round_body, (rng, init))
     return items
+
+
+def alias_negatives(rng, shape, prob_arr, alias_arr):
+    """Popularity-weighted negative draw via Walker's alias method, on device.
+
+    ``prob_arr``/``alias_arr`` come from utils.alias_table.AliasTable built
+    over contiguous 0..n-1 ids (scaled acceptance thresholds + alias slots).
+    Two gathers + one compare per draw — the TPU-native equivalent of the
+    reference's host-side AliasTable.sample per batch
+    (beta_rec/models/triple2vec.py:124-170 draws user/item negatives from
+    frequency samplers; uniform draws measurably hurt skip-gram quality).
+    """
+    import jax
+
+    k_idx, k_u = jax.random.split(rng)
+    idx = jax.random.randint(k_idx, shape, 0, prob_arr.shape[0])
+    u = jax.random.uniform(k_u, shape)
+    return jnp.where(u < prob_arr[idx], idx, alias_arr[idx]).astype(jnp.int32)

@@ -90,3 +90,53 @@ def test_auto_sparse_routing_explicit_override(tmp_path):
     eng = _toy_engine(tmp_path, 2048, mesh={"data": 4, "model": 2},
                       sparse_override=False)
     assert not eng._sparse_optim
+
+
+def test_alias_negatives_follow_frequency():
+    """On-device alias draws approximate the source frequency distribution."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from beta_recsys_tpu.ops.sampling import alias_negatives
+    from beta_recsys_tpu.utils.alias_table import AliasTable
+
+    freq = [1.0, 0.0, 4.0, 10.0, 5.0]
+    at = AliasTable(list(freq))
+    draws = alias_negatives(
+        jax.random.key(0), (40_000,),
+        jnp.asarray(at.prob_arr, jnp.float32), jnp.asarray(at.alias_arr, jnp.int32))
+    counts = np.bincount(np.asarray(draws), minlength=5) / 40_000
+    expect = np.asarray(freq) / sum(freq)
+    assert counts[1] == 0.0
+    np.testing.assert_allclose(counts, expect, atol=0.02)
+
+
+def test_basedata_does_not_mutate_input_split():
+    """BaseData must copy its input frames: one split reused across runs
+    (parity seed loops) must not inherit a previous run's id re-mapping
+    (r5: collapsed every Triple2vec run after the first)."""
+    import numpy as np
+    import pandas as pd
+
+    from beta_recsys_tpu.data.base_data import BaseData
+    from beta_recsys_tpu.utils.constants import (
+        DEFAULT_ITEM_COL, DEFAULT_RATING_COL, DEFAULT_TIMESTAMP_COL,
+        DEFAULT_USER_COL,
+    )
+
+    def frame(users, items):
+        return pd.DataFrame({
+            DEFAULT_USER_COL: users, DEFAULT_ITEM_COL: items,
+            DEFAULT_RATING_COL: np.ones(len(users), np.float32),
+            DEFAULT_TIMESTAMP_COL: np.arange(len(users)),
+        })
+
+    train = frame([10, 20, 30, 10], [7, 8, 9, 8])
+    valid = frame([20, 30], [9, 7])
+    test = frame([10], [9])
+    orig = (train.copy(), valid.copy(), test.copy())
+    BaseData((train, [valid], [test]))
+    pd.testing.assert_frame_equal(train, orig[0])
+    pd.testing.assert_frame_equal(valid, orig[1])
+    pd.testing.assert_frame_equal(test, orig[2])
