@@ -120,7 +120,7 @@ class Recommender:
         scores = self.model.score_pairs(self._serving_params(use_best), users, items)
         return np.asarray(scores)
 
-    def recommend(self, users=None, k=10, exclude_train=True, user_block=4096, item_block=8192, use_best=True):
+    def recommend(self, users=None, k=10, exclude_train=True, user_block=4096, item_block=8192, use_best=True, mode="exact", score_dtype=None):
         """Top-k item recommendations per user — the serving surface.
 
         The reference has no retrieval API (its `predict` only scores explicit
@@ -168,9 +168,14 @@ class Recommender:
                 u_emb, i_emb = embs
                 ex = (jnp.asarray(excl_all[blk]) if excl_all is not None
                       else None)
+                # default fp32 scores keep recommend()'s predictions on
+                # predict()'s exact scale (tested); mode="approx" +
+                # score_dtype="bfloat16" is the high-throughput serving
+                # setting (700k users/s over 162k items, 0.973 top-10
+                # recall — docs/benchmarks.md)
                 scores, idx = retrieval_topk(
                     u_emb[jnp.asarray(blk)], jnp.asarray(i_emb), k,
-                    exclude_list=ex, mode="exact", score_dtype="bfloat16",
+                    exclude_list=ex, mode=mode, score_dtype=score_dtype,
                 )
                 scores = model.retrieval_score_transform(params, scores)
             elif embs is not None:

@@ -49,11 +49,11 @@ class Triple2vec(RecModel):
 
         def skipgram(center_emb, context, center_bias, neg_emb, neg_bias):
             pos = jax.nn.log_sigmoid(jnp.sum(center_emb * context, axis=-1) + center_bias)
-            # HIGHEST precision: the TPU MXU's default bf16 operand passes
-            # round the +-1e-4-magnitude dots of the +-0.01-init embeddings
-            # hard enough to destabilize training with popularity-weighted
-            # negatives (r5: seed-dependent collapse on TPU only; CPU fp32
-            # was stable at the same seeds/lr)
+            # HIGHEST precision on the skip-gram dots: the +-0.01-init
+            # embeddings produce +-1e-4 products that the MXU's default bf16
+            # operand passes round coarsely; this einsum is a tiny share of
+            # the (already fast) triple epoch, unlike the global lookup VJP
+            # where the same setting cost dense MF ~17% (reverted there).
             neg_dots = jnp.einsum(
                 "bnd,bd->bn", neg_emb, center_emb,
                 precision=jax.lax.Precision.HIGHEST,

@@ -43,21 +43,20 @@ def _mxu_lookup_for(shape, dtype_name):
     def bwd(ids, g):
         flat_ids = ids.reshape(-1)
         onehot = jax.nn.one_hot(flat_ids, n_rows, dtype=g.dtype)  # (B, N)
-        # HIGHEST precision: by default the TPU MXU runs fp32 matmuls as
-        # bf16 operand passes, which ROUNDS THE GRADIENTS this VJP exists to
-        # produce — measured r5: Triple2vec's +-1e-4-magnitude grads rounded
-        # this way collapse training on some seeds (CPU fp32 stable). The
-        # native scatter VJP accumulates exactly; this matmul must too.
-        prec = jax.lax.Precision.HIGHEST
+        # default MXU precision: the one-hot operand is exact 0/1 (bf16
+        # representable), so the bf16 passes only round the cotangent g —
+        # the same rounding the forward compute already sees. (An r5
+        # HIGHEST-precision experiment cost the dense MF epoch ~17% and was
+        # unnecessary: the Triple2vec instability it chased was the BaseData
+        # input-mutation bug, verified stable post-fix at default precision.)
         if len(shape) == 1:
-            g_table = jnp.einsum("bn,b->n", onehot, g.reshape(-1),
-                                 precision=prec)
+            g_table = jnp.einsum("bn,b->n", onehot, g.reshape(-1))
         else:
             # arbitrary trailing dims (e.g. (N, H, d) hop tensors): flatten
             # features for the matmul, reshape back
             feat = int(np.prod(shape[1:]))
             g_table = jnp.einsum(
-                "bn,bf->nf", onehot, g.reshape(-1, feat), precision=prec
+                "bn,bf->nf", onehot, g.reshape(-1, feat)
             ).reshape(shape)
         return (g_table.astype(dtype_name),
                 np.zeros(ids.shape, dtype=jax.dtypes.float0))
@@ -184,8 +183,7 @@ def _grouped_lookup_for(shapes, dtype_names):
         gcat = jnp.concatenate(
             [g.reshape(len(flat_ids), w) for g, w in zip(gs, widths)], axis=1
         )
-        gt = jnp.einsum("bn,bf->nf", onehot, gcat,
-                        precision=jax.lax.Precision.HIGHEST)  # ONE matmul
+        gt = jnp.einsum("bn,bf->nf", onehot, gcat)  # (N, sum_w): ONE matmul
         grads = []
         for shape, dtype_name, w, off in zip(shapes, dtype_names, widths, offsets):
             piece = gt[:, off : off + w]
